@@ -1,0 +1,83 @@
+"""Static-shape keyframe ray database.
+
+Rebuild of the reference `KeyFrameDatabase` (`/root/reference/model/keyframe.py`):
+a fixed-capacity tensor of sampled rays per keyframe
+`[num_kf, rays_per_kf, 7]` with layout (direction 3, rgb 3, depth 1), plus a
+slot counter. All mutation is functional (`.at[].set`) so the DB lives on
+device inside jitted super-steps; the TPU never sees a dynamic shape —
+`sample_global_rays` draws uniform indices bounded by the *current* count
+(a traced scalar), exactly reproducing the reference's uniform sampling over
+all stored rays (keyframe.py:91-103).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KeyframeDB(NamedTuple):
+    rays: jax.Array       # [num_kf, rays_per_kf, 7]
+    frame_ids: jax.Array  # [num_kf] dataset frame id per slot (-1 = empty)
+    count: jax.Array      # scalar int32 — number of filled slots
+
+
+def init_db(num_kf: int, rays_per_kf: int) -> KeyframeDB:
+    return KeyframeDB(
+        rays=jnp.zeros((num_kf, rays_per_kf, 7)),
+        frame_ids=-jnp.ones((num_kf,), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def sample_rays_from_frame(
+    key: jax.Array,
+    direction: jax.Array,  # [H, W, 3]
+    rgb: jax.Array,        # [H, W, 3]
+    depth: jax.Array,      # [H, W]
+    n: int,
+) -> jax.Array:
+    """Random pixel sample -> packed rays [n, 7] (keyframe.py:27-50)."""
+    H, W = depth.shape
+    idx = jax.random.randint(key, (n,), 0, H * W)
+    d = direction.reshape(-1, 3)[idx]
+    c = rgb.reshape(-1, 3)[idx]
+    z = depth.reshape(-1)[idx]
+    return jnp.concatenate([d, c, z[:, None]], axis=-1)
+
+
+def add_keyframe(
+    db: KeyframeDB,
+    key: jax.Array,
+    frame_id: jax.Array,
+    direction: jax.Array,
+    rgb: jax.Array,
+    depth: jax.Array,
+) -> KeyframeDB:
+    """Append a keyframe's ray sample to the next slot (functional)."""
+    n = db.rays.shape[1]
+    packed = sample_rays_from_frame(key, direction, rgb, depth, n)
+    slot = db.count
+    return KeyframeDB(
+        rays=jax.lax.dynamic_update_index_in_dim(db.rays, packed, slot, axis=0),
+        frame_ids=db.frame_ids.at[slot].set(frame_id.astype(jnp.int32)),
+        count=db.count + 1,
+    )
+
+
+def sample_global_rays(
+    db: KeyframeDB, key: jax.Array, n: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Uniform sample over all stored rays -> (rays [n, 7], slot_ids [n]).
+
+    slot_ids index the keyframe slot (for per-ray pose lookup), matching the
+    reference's frame-id return (keyframe.py:91-103).
+    """
+    num_kf, rays_per_kf, _ = db.rays.shape
+    total = jnp.maximum(db.count * rays_per_kf, 1)
+    idx = jax.random.randint(key, (n,), 0, total)
+    rays = db.rays.reshape(-1, 7)[idx]
+    slot_ids = idx // rays_per_kf
+    return rays, slot_ids

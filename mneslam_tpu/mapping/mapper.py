@@ -1,0 +1,172 @@
+"""Online mapper: jitted gradient-descent super-steps over the neural map.
+
+Rebuild of the reference `Mapper` (`/root/reference/mp_slam/mapper.py`) with
+the TPU execution model from SURVEY.md §7.1: instead of a Python thread
+looping 50 torch steps per keyframe, the entire per-keyframe optimization
+(ray sampling -> render -> loss -> Adam update, `mapper.py:118-161`) is ONE
+jitted `lax.fori_loop` program. The keyframe DB, poses, params, and
+optimizer state all live on device; the host only decides *when* to map.
+
+Optimizer mirrors `mneslam_mp.py:431-469`: Adam(betas=(0.9, 0.99)) with
+lr_decoder + weight decay 1e-6 on the decoder, lr_embed + eps 1e-15 on the
+planes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import rays as rays_lib
+from ..models.scene_rep import SceneRep
+from . import keyframe as kf_lib
+
+
+class MapperState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    db: kf_lib.KeyframeDB
+    kf_poses: jax.Array  # [num_kf, 4, 4] c2w per slot
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    mp = config["mapping"]
+
+    def label_fn(params):
+        return jax.tree.map_with_path(
+            lambda path, _: "decoder" if path[0].key == "decoder" else "planes", params
+        )
+
+    return optax.multi_transform(
+        {
+            "decoder": optax.chain(
+                optax.add_decayed_weights(1e-6),
+                optax.adam(mp["lr_decoder"], b1=0.9, b2=0.99),
+            ),
+            "planes": optax.adam(mp["lr_embed"], b1=0.9, b2=0.99, eps=1e-15),
+        },
+        label_fn,
+    )
+
+
+class Mapper:
+    def __init__(self, config, scene: SceneRep, num_kf: int, rays_per_kf: int):
+        self.config = config
+        self.scene = scene
+        self.num_kf = num_kf
+        self.rays_per_kf = rays_per_kf
+        self.optimizer = make_optimizer(config)
+        self.n_global = int(config["mapping"]["sample"])
+        self.n_cur = int(config["mapping"]["min_pixels_cur"])
+
+    def init_state(self, key) -> MapperState:
+        params = self.scene.init_params(key)
+        return MapperState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            db=kf_lib.init_db(self.num_kf, self.rays_per_kf),
+            kf_poses=jnp.tile(jnp.eye(4), (self.num_kf, 1, 1)),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, rays_o, rays_d, target_rgb, target_d, key):
+        ret = self.scene.forward(params, rays_o, rays_d, target_rgb, target_d, key=key)
+        loss = self.scene.get_loss_from_ret(ret)
+        return loss, ret
+
+    @partial(jax.jit, static_argnames=("self", "iters", "use_cur"))
+    def optimize(
+        self,
+        state: MapperState,
+        cur_frame: Dict[str, jax.Array],   # direction [H,W,3], rgb [H,W,3], depth [H,W]
+        cur_pose: jax.Array,               # [4, 4] c2w
+        key: jax.Array,
+        iters: int,
+        use_cur: bool = True,
+    ) -> Tuple[MapperState, Dict[str, jax.Array]]:
+        """`iters` optimization steps over (global KF rays + current-frame
+        rays) — the body of mapper.py:118-161, compiled once."""
+        H, W = cur_frame["depth"].shape
+        dir_flat = cur_frame["direction"].reshape(-1, 3)
+        rgb_flat = cur_frame["rgb"].reshape(-1, 3)
+        d_flat = cur_frame["depth"].reshape(-1)
+
+        def step(i, carry):
+            params, opt_state, _ = carry
+            k = jax.random.fold_in(key, i)
+            k_db, k_cur, k_render = jax.random.split(k, 3)
+
+            g_rays, slot_ids = kf_lib.sample_global_rays(state.db, k_db, self.n_global)
+            g_poses = state.kf_poses[slot_ids]                      # [n, 4, 4]
+            g_o, g_d = rays_lib.rays_from_pose(g_rays[:, :3], g_poses)
+            g_rgb, g_depth = g_rays[:, 3:6], g_rays[:, 6]
+
+            if use_cur:
+                idx = jax.random.randint(k_cur, (self.n_cur,), 0, H * W)
+                c_o, c_d = rays_lib.rays_from_pose(dir_flat[idx], cur_pose)
+                rays_o = jnp.concatenate([g_o, c_o], axis=0)
+                rays_d = jnp.concatenate([g_d, c_d], axis=0)
+                target_rgb = jnp.concatenate([g_rgb, rgb_flat[idx]], axis=0)
+                target_d = jnp.concatenate([g_depth, d_flat[idx]], axis=0)[:, None]
+            else:
+                rays_o, rays_d = g_o, g_d
+                target_rgb, target_d = g_rgb, g_depth[:, None]
+
+            (loss, ret), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                params, rays_o, rays_d, target_rgb, target_d, k_render
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "psnr": ret["psnr"],
+                                       "rgb_loss": ret["rgb_loss"],
+                                       "depth_loss": ret["depth_loss"]}
+
+        zero_metrics = {"loss": jnp.zeros(()), "psnr": jnp.zeros(()),
+                        "rgb_loss": jnp.zeros(()), "depth_loss": jnp.zeros(())}
+        params, opt_state, metrics = jax.lax.fori_loop(
+            0, iters, step, (state.params, state.opt_state, zero_metrics)
+        )
+        return state._replace(params=params, opt_state=opt_state), metrics
+
+    @partial(jax.jit, static_argnames=("self",))
+    def add_keyframe(
+        self,
+        state: MapperState,
+        frame_id: jax.Array,
+        cur_frame: Dict[str, jax.Array],
+        cur_pose: jax.Array,
+        key: jax.Array,
+    ) -> MapperState:
+        db = kf_lib.add_keyframe(
+            state.db, key, frame_id,
+            cur_frame["direction"], cur_frame["rgb"], cur_frame["depth"],
+        )
+        kf_poses = jax.lax.dynamic_update_index_in_dim(
+            state.kf_poses, cur_pose, state.db.count, axis=0
+        )
+        return state._replace(db=db, kf_poses=kf_poses)
+
+    def update_kf_pose(self, state: MapperState, slot: jax.Array, pose: jax.Array) -> MapperState:
+        """Refresh a keyframe slot pose (tracking updates / loop closure)."""
+        return state._replace(
+            kf_poses=jax.lax.dynamic_update_index_in_dim(state.kf_poses, pose, slot, axis=0)
+        )
+
+    # ------------------------------------------------------------------
+
+    def first_frame_mapping(
+        self, state: MapperState, frame: Dict, pose: jax.Array, key: jax.Array,
+        iters: Optional[int] = None,
+    ) -> Tuple[MapperState, Dict]:
+        """First-frame bootstrap (mapper.py:52-116): add the keyframe, then
+        optimize hard with current-frame rays only."""
+        iters = iters if iters is not None else int(self.config["mapping"]["first_iters"])
+        k1, k2 = jax.random.split(key)
+        state = self.add_keyframe(state, jnp.asarray(frame["frame_id"]), frame, pose, k1)
+        state, metrics = self.optimize(state, frame, pose, k2, iters=iters, use_cur=True)
+        return state, metrics

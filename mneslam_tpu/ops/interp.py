@@ -27,8 +27,9 @@ def grid_sample_2d(plane: jax.Array, coords: jax.Array) -> jax.Array:
     returns [N, C]
     """
     C, H, W = plane.shape
-    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
-    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    # border padding: clamp the continuous coordinate itself
+    x = jnp.clip((coords[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((coords[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -64,9 +65,10 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     returns [N, C]
     """
     C, D, H, W = vol.shape
-    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
-    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
-    z = (coords[:, 2] + 1.0) * 0.5 * (D - 1)
+    # border padding: clamp the continuous coordinate itself
+    x = jnp.clip((coords[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((coords[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    z = jnp.clip((coords[:, 2] + 1.0) * 0.5 * (D - 1), 0.0, D - 1)
 
     x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
     wx = x - x0; wy = y - y0; wz = z - z0

@@ -1,0 +1,111 @@
+"""End-to-end mapping-only test: GT poses on the synthetic box room.
+
+This is BASELINE.json config #1 in miniature — the reference's degenerate
+mode where poses come from the dataset and only the neural map is trained.
+Convergence criterion: render PSNR improves substantially and depth error
+drops to centimeter scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+from mneslam_tpu.mapping.mapper import Mapper
+from mneslam_tpu.models.scene_rep import SceneRep
+
+
+def tiny_config():
+    return make_config({
+        "mapping": {
+            "bound": [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]],
+            "marching_cubes_bound": [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]],
+            "sample": 512,
+            "min_pixels_cur": 64,
+            "first_iters": 120,
+            "iters": 25,
+            "keyframe_every": 2,
+            "n_pixels": 0.05,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": 48, "W": 64, "fx": 40.0, "fy": 40.0, "cx": 31.5, "cy": 23.5,
+                "near": 0.0, "far": 8.0, "depth_trunc": 100.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25,
+                     "trunc": 0.15, "rgb_weight": 5.0, "depth_weight": 0.1,
+                     "sdf_weight": 1200, "fs_weight": 10},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+    })
+
+
+def test_mapping_converges_on_synthetic_scene():
+    cfg = tiny_config()
+    ds = SyntheticBoxDataset(cfg, num_frames=8)
+    scene = SceneRep(cfg)
+    mapper = Mapper(cfg, scene, num_kf=8, rays_per_kf=ds.num_rays_to_save)
+
+    key = jax.random.PRNGKey(0)
+    state = mapper.init_state(key)
+
+    # first frame
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    frame["frame_id"] = 0
+    pose0 = jnp.asarray(ds[0]["c2w"])
+    state, m0 = mapper.first_frame_mapping(state, frame, pose0, jax.random.PRNGKey(1))
+    psnr_first = float(m0["psnr"])
+
+    # subsequent keyframes with GT poses
+    for i, fid in enumerate(range(2, 8, 2)):
+        item = ds[fid]
+        frame = {k: jnp.asarray(v) for k, v in item.items() if k != "frame_id"}
+        pose = jnp.asarray(item["c2w"])
+        k = jax.random.fold_in(key, 100 + fid)
+        state = mapper.add_keyframe(state, jnp.asarray(fid), frame, pose, k)
+        state, metrics = mapper.optimize(
+            state, frame, pose, jax.random.fold_in(k, 1),
+            iters=cfg["mapping"]["iters"],
+        )
+
+    assert np.isfinite(float(metrics["loss"]))
+    final_psnr = float(metrics["psnr"])
+    assert final_psnr > 18.0, f"PSNR too low after mapping: {final_psnr}"
+
+    # render a full frame at a mapped pose and compare depth
+    item = ds[4]
+    H, W = ds.H, ds.W
+    from mneslam_tpu.data.rays import rays_from_pose
+    dirs = jnp.asarray(item["direction"]).reshape(-1, 3)
+    rays_o, rays_d = rays_from_pose(dirs, jnp.asarray(item["c2w"]))
+    depth, rgb = scene.render_image_rays(
+        state.params, rays_o, rays_d, jnp.asarray(item["depth"]).reshape(-1), chunk=1024
+    )
+    gt_depth = np.asarray(item["depth"]).reshape(-1)
+    valid = gt_depth > 0
+    depth_l1 = float(np.mean(np.abs(np.asarray(depth)[valid] - gt_depth[valid])))
+    assert depth_l1 < 0.08, f"depth L1 too high: {depth_l1}"
+
+    rgb_err = float(np.mean(np.square(np.asarray(rgb) - np.asarray(item["rgb"]).reshape(-1, 3))))
+    render_psnr = -10 * np.log10(rgb_err)
+    assert render_psnr > 18.0, f"full-frame render PSNR too low: {render_psnr}"
+
+
+def test_keyframe_db_roundtrip():
+    from mneslam_tpu.mapping import keyframe as kf_lib
+    db = kf_lib.init_db(num_kf=4, rays_per_kf=32)
+    key = jax.random.PRNGKey(0)
+    H, W = 8, 10
+    direction = jax.random.normal(key, (H, W, 3))
+    rgb = jax.random.uniform(key, (H, W, 3))
+    depth = jnp.ones((H, W))
+    db = kf_lib.add_keyframe(db, key, jnp.asarray(5), direction, rgb, depth)
+    db = kf_lib.add_keyframe(db, jax.random.fold_in(key, 1), jnp.asarray(9),
+                             direction, rgb, depth)
+    assert int(db.count) == 2
+    assert list(np.asarray(db.frame_ids[:3])) == [5, 9, -1]
+
+    rays, slots = kf_lib.sample_global_rays(db, jax.random.PRNGKey(2), 64)
+    assert rays.shape == (64, 7)
+    # only filled slots are sampled
+    assert set(np.asarray(slots).tolist()) <= {0, 1}
+    # depths survived packing
+    np.testing.assert_allclose(np.asarray(rays[:, 6]), 1.0)

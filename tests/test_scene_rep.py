@@ -1,0 +1,131 @@
+"""Scene representation unit tests: interpolation vs scipy, weights, losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.models.scene_rep import SceneRep
+from mneslam_tpu.ops import encodings, interp
+
+
+def small_config():
+    return make_config({
+        "mapping": {"bound": [[-2.4, 2.4], [-2.4, 2.4], [-2.4, 2.4]],
+                    "marching_cubes_bound": [[-2.4, 2.4], [-2.4, 2.4], [-2.4, 2.4]]},
+        "planes_res": {"coarse": 0.48, "fine": 0.24, "bound_dividable": 0.24},
+        "cam": {"H": 32, "W": 48, "fx": 40.0, "fy": 40.0, "cx": 23.5, "cy": 15.5,
+                "near": 0.0, "far": 6.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.2},
+    })
+
+
+def test_grid_sample_matches_scipy():
+    """Bilinear border-clamped sampling == map_coordinates(order=1, nearest)."""
+    key = jax.random.PRNGKey(0)
+    plane = jax.random.normal(key, (4, 9, 13))
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (50, 2), minval=-1.2, maxval=1.2)
+    out = interp.grid_sample_2d(plane, coords)
+
+    # scipy comparison: x -> col coord, y -> row coord (align_corners=True)
+    x = np.asarray((coords[:, 0] + 1) * 0.5 * (13 - 1))
+    y = np.asarray((coords[:, 1] + 1) * 0.5 * (9 - 1))
+    for c in range(4):
+        ref = ndimage.map_coordinates(np.asarray(plane[c]), [y, x], order=1, mode="nearest")
+        np.testing.assert_allclose(out[:, c], ref, atol=1e-5)
+
+
+def test_grid_sample_3d_matches_scipy():
+    key = jax.random.PRNGKey(2)
+    vol = jax.random.normal(key, (2, 7, 9, 11))
+    coords = jax.random.uniform(jax.random.PRNGKey(3), (40, 3), minval=-1.0, maxval=1.0)
+    out = interp.grid_sample_3d(vol, coords)
+    x = np.asarray((coords[:, 0] + 1) * 0.5 * (11 - 1))
+    y = np.asarray((coords[:, 1] + 1) * 0.5 * (9 - 1))
+    z = np.asarray((coords[:, 2] + 1) * 0.5 * (7 - 1))
+    for c in range(2):
+        ref = ndimage.map_coordinates(np.asarray(vol[c]), [z, y, x], order=1, mode="nearest")
+        np.testing.assert_allclose(out[:, c], ref, atol=1e-5)
+
+
+def test_one_blob_properties():
+    """OneBlob: correct shape, nonnegative, locality (peak near input bin)."""
+    x = jnp.asarray([[0.03125], [0.53125], [0.96875]])  # bin centers for n_bins=16
+    enc = encodings.one_blob_encode(x, n_bins=16)
+    assert enc.shape == (3, 16)
+    assert float(enc.min()) >= 0.0
+    np.testing.assert_array_equal(np.argmax(np.asarray(enc), axis=1), [0, 8, 15])
+
+
+def test_sdf2weights_peak_at_surface():
+    """Weights concentrate at the first zero crossing and ignore later ones."""
+    cfg = small_config()
+    scene = SceneRep(cfg)
+    z = jnp.linspace(0.0, 4.0, 64)[None, :].repeat(2, 0)
+    surface1, surface2 = 1.5, 3.0
+    sdf = jnp.minimum(surface1 - z, jnp.abs(z - surface2))  # crossings at 1.5 only? no:
+    # ray 0: sdf = surface1 - z (single crossing at 1.5)
+    sdf0 = surface1 - z[0]
+    # ray 1: two crossings at 1.0 and 3.0; first must win
+    sdf1 = jnp.where(z[1] < 2.0, 1.0 - z[1], z[1] - 3.0)
+    sdf = jnp.stack([sdf0, sdf1])
+    w = scene.sdf2weights(sdf, z)
+    np.testing.assert_allclose(np.sum(np.asarray(w), axis=1), 1.0, atol=1e-4)
+    # truncation-band weighting biases ~trunc toward the camera (same as ref)
+    d = np.sum(np.asarray(w * z), axis=1)
+    assert abs(d[0] - surface1) < 0.15
+    assert abs(d[1] - 1.0) < 0.15, f"first surface not selected: {d[1]}"
+
+
+def test_depth_guided_sampling_brackets_target():
+    cfg = small_config()
+    scene = SceneRep(cfg)
+    target_d = jnp.asarray([[2.0], [0.0]])  # second ray invalid
+    z = scene.sample_z_vals(target_d, 2, key=None)
+    # ray 0 contains the band around 2.0
+    band = np.asarray(z[0])
+    assert band.min() <= 2.0 - 0.19 or (np.abs(band - 2.0) < 0.21).sum() >= 5
+    assert (np.abs(band - 2.0) <= 0.2 + 1e-5).sum() >= cfg["training"]["n_range_d"]
+    # ray 1 falls back to [near, far]
+    assert np.asarray(z[1]).max() > 5.0
+
+
+def test_forward_losses_finite_and_grad():
+    cfg = small_config()
+    scene = SceneRep(cfg)
+    params = scene.init_params(jax.random.PRNGKey(0))
+    n = 64
+    key = jax.random.PRNGKey(1)
+    rays_o = 0.1 * jax.random.normal(key, (n, 3))
+    rays_d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target_rgb = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    target_d = 1.0 + jax.random.uniform(jax.random.fold_in(key, 3), (n, 1))
+    # some invalid depths
+    target_d = target_d.at[::7].set(0.0)
+
+    def total(params):
+        ret = scene.forward(params, rays_o, rays_d, target_rgb, target_d,
+                            key=jax.random.PRNGKey(9))
+        return scene.get_loss_from_ret(ret), ret
+
+    (loss, ret), grads = jax.value_and_grad(total, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for k, v in ret.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"non-finite {k}"
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # gradient must reach every parameter group
+    gnorms = jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads)
+    flat = jax.tree.leaves(gnorms)
+    assert all(g > 0 for g in flat), f"dead parameters: {gnorms}"
+
+
+def test_smoothness_loss():
+    cfg = small_config()
+    scene = SceneRep(cfg)
+    params = scene.init_params(jax.random.PRNGKey(0))
+    s = scene.smoothness(params, jax.random.PRNGKey(1), sample_points=8,
+                         voxel_size=0.1, margin=0.05)
+    assert np.isfinite(float(s)) and float(s) >= 0.0
