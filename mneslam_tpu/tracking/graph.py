@@ -1,0 +1,392 @@
+"""Factor graph: host-managed edge table + jitted GRU/DBA update megastep.
+
+Rebuild of `/root/reference/tracker/factor_graph.py` per SURVEY.md §7.1:
+edge bookkeeping (dedup, age-based eviction, NMS proximity selection,
+keyframe index remapping) is tiny O(window^2) work and stays on the host in
+numpy; everything per-pixel — reprojection, correlation lookup, ConvGRU,
+damping aggregation, and the damped GN/Schur bundle adjustment — is ONE
+compiled XLA program (`update_step`) over a fixed-capacity padded edge
+table, so the TPU never recompiles as edges come and go.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import droid_net
+from ..ops import correlation, projective
+from . import video as video_lib
+
+
+@partial(jax.jit, static_argnames=("window", "iters", "motion_only", "update_fn", "agg_fn"))
+def update_step(
+    state: video_lib.VideoState,
+    params: Dict,
+    intrinsics: jax.Array,
+    ii: jax.Array,        # [cap]
+    jj: jax.Array,        # [cap]
+    mask: jax.Array,      # [cap]
+    net: jax.Array,       # [cap, 128, h, w]
+    target: jax.Array,    # [cap, h, w, 2]
+    ii_inac: jax.Array,   # [cap_i]
+    jj_inac: jax.Array,
+    mask_inac: jax.Array,
+    target_inac: jax.Array,
+    weight_inac: jax.Array,
+    t0: jax.Array,
+    t1: jax.Array,
+    window: int,
+    iters: int = 2,
+    motion_only: bool = False,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    update_fn=None,
+    agg_fn=None,
+):
+    """One tracker update (factor_graph.py:224-277): reproject -> correlate
+    -> ConvGRU -> new targets/weights/damping -> windowed dense BA.
+
+    `update_fn`/`agg_fn` default to the DROID nets; tests inject oracles to
+    exercise the graph/BA machinery without learned weights.
+
+    Returns (new_state, net, target, weight, upmask).
+    """
+    B = state.poses.shape[0]
+    ht, wd = state.disps.shape[1:]
+    coords0 = projective.coords_grid(ht, wd)
+
+    coords1, _ = video_lib.reproject(state, intrinsics, ii, jj)
+    motion = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
+    motion = jnp.clip(motion, -64.0, 64.0).transpose(0, 3, 1, 2)
+
+    corr = correlation.alt_corr(state.fmaps, ii, jj, coords1)
+
+    if update_fn is None:
+        new_net, delta, weight = droid_net.update_apply(
+            params["update"], net, state.inps[ii], corr, motion
+        )
+    else:
+        new_net, delta, weight = update_fn(params, ii, jj, net, corr, motion, coords1)
+    if agg_fn is None:
+        eta, upmask = droid_net.agg_apply(params["update"]["agg"], new_net, ii, mask, B)
+    else:
+        eta, upmask = agg_fn(params, new_net, ii, mask, B)
+
+    new_target = coords1 + delta
+    # scatter per-frame damping; padded edges write to a trash row
+    ii_scatter = jnp.where(mask > 0, ii, B)
+    damping = state.damping
+    damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], axis=0)
+    damping = damping.at[ii_scatter].set(eta)[:B]
+    state = state._replace(damping=damping)
+
+    # combine active + (optionally) inactive edges for BA
+    ba_ii = jnp.concatenate([ii, ii_inac])
+    ba_jj = jnp.concatenate([jj, jj_inac])
+    ba_mask = jnp.concatenate([mask, mask_inac])
+    ba_target = jnp.concatenate([new_target, target_inac])
+    ba_weight = jnp.concatenate([weight, weight_inac])
+
+    state = video_lib.windowed_ba(
+        state, intrinsics, ba_target, ba_weight, ba_ii, ba_jj, ba_mask,
+        t0=t0, t1=t1, window=window, iters=iters, lm=lm, ep=ep,
+        motion_only=motion_only,
+    )
+    return state, new_net, new_target, weight, upmask
+
+
+class FactorGraph:
+    """Host wrapper owning the padded edge table."""
+
+    def __init__(
+        self,
+        buffer: int,
+        ht: int,
+        wd: int,
+        capacity: int,
+        params: Dict,
+        intrinsics: jax.Array,
+        window: int = 32,
+        max_factors: int = -1,
+        inac_capacity: Optional[int] = None,
+        update_fn=None,
+        agg_fn=None,
+    ):
+        self.update_fn = update_fn
+        self.agg_fn = agg_fn
+        self.buffer = buffer
+        self.ht, self.wd = ht, wd
+        self.capacity = capacity
+        self.params = params
+        self.intrinsics = intrinsics
+        self.window = window
+        self.max_factors = max_factors if max_factors > 0 else capacity
+
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+
+        self.net = jnp.zeros((capacity, 128, ht, wd))
+        self.target = jnp.zeros((capacity, ht, wd, 2))
+        self.weight = jnp.zeros((capacity, ht, wd, 2))
+
+        cap_i = inac_capacity if inac_capacity is not None else 2 * capacity
+        self.cap_inac = cap_i
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.target_inac = jnp.zeros((cap_i, ht, wd, 2))
+        self.weight_inac = jnp.zeros((cap_i, ht, wd, 2))
+
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def n_active(self) -> int:
+        return len(self.ii)
+
+    def _padded_indices(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        ii = np.zeros(self.capacity, np.int32)
+        jj = np.zeros(self.capacity, np.int32)
+        m = np.zeros(self.capacity, np.float32)
+        n = self.n_active
+        ii[:n] = self.ii
+        jj[:n] = self.jj
+        m[:n] = 1.0
+        return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(m)
+
+    def _padded_inactive(self, t0: int):
+        ii = np.zeros(self.cap_inac, np.int32)
+        jj = np.zeros(self.cap_inac, np.int32)
+        m = np.zeros(self.cap_inac, np.float32)
+        if len(self.ii_inac):
+            sel = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            k = min(int(sel.sum()), self.cap_inac)
+            idx = np.nonzero(sel)[0][:k]
+            ii[:k] = self.ii_inac[idx]
+            jj[:k] = self.jj_inac[idx]
+            m[:k] = 1.0
+            # gather the matching stored targets/weights into the front slots
+            gather = np.zeros(self.cap_inac, np.int64)
+            gather[:k] = idx
+            target = self.target_inac[jnp.asarray(gather)]
+            weight = self.weight_inac[jnp.asarray(gather)]
+        else:
+            target, weight = self.target_inac, self.weight_inac
+        return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(m), target, weight
+
+    # ------------------------------------------------------------------
+
+    def add_factors(self, state: video_lib.VideoState, ii, jj, remove: bool = False):
+        """Add deduplicated edges (factor_graph.py:88-133)."""
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+
+        existing = set(zip(self.ii.tolist(), self.jj.tolist())) | set(
+            zip(self.ii_inac.tolist(), self.jj_inac.tolist())
+        )
+        keep = np.asarray([(i, j) not in existing for i, j in zip(ii, jj)], bool)
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return
+
+        # capacity limit: evict oldest (factor_graph.py:103-106)
+        if self.n_active + len(ii) > min(self.max_factors, self.capacity) and remove:
+            n_evict = self.n_active + len(ii) - min(self.max_factors, self.capacity)
+            order = np.argsort(-self.age)  # oldest first
+            evict_mask = np.zeros(self.n_active, bool)
+            evict_mask[order[:n_evict]] = True
+            self.rm_factors(evict_mask, store=True)
+        n_new = min(len(ii), self.capacity - self.n_active)
+        ii, jj = ii[:n_new], jj[:n_new]
+        if n_new == 0:
+            return
+
+        ii_j = jnp.asarray(ii)
+        jj_j = jnp.asarray(jj)
+        target, _ = video_lib.reproject(state, self.intrinsics, ii_j, jj_j)
+
+        n0 = self.n_active
+        self.net = jax.lax.dynamic_update_slice_in_dim(
+            self.net, state.nets[ii_j], n0, axis=0
+        )
+        self.target = jax.lax.dynamic_update_slice_in_dim(self.target, target, n0, axis=0)
+        self.weight = jax.lax.dynamic_update_slice_in_dim(
+            self.weight, jnp.zeros_like(target), n0, axis=0
+        )
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros(n_new, np.int64)])
+
+    def rm_factors(self, mask: np.ndarray, store: bool = False):
+        """Drop active edges; optionally archive them (factor_graph.py:136-160)."""
+        mask = np.asarray(mask, bool)
+        if mask.sum() == 0:
+            return
+        drop = np.nonzero(mask)[0]
+        keep = np.nonzero(~mask)[0]
+
+        if store:
+            n_i = len(self.ii_inac)
+            k = min(len(drop), self.cap_inac - n_i)
+            if k > 0:
+                sel = jnp.asarray(drop[:k])
+                self.target_inac = jax.lax.dynamic_update_slice_in_dim(
+                    self.target_inac, self.target[sel], n_i, axis=0
+                )
+                self.weight_inac = jax.lax.dynamic_update_slice_in_dim(
+                    self.weight_inac, self.weight[sel], n_i, axis=0
+                )
+                self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop[:k]]])
+                self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop[:k]]])
+
+        # compact device arrays
+        perm = np.concatenate([keep, drop])  # keepers to the front
+        perm_j = jnp.asarray(np.concatenate([perm, np.arange(len(self.ii), self.capacity)]))
+        self.net = self.net[perm_j]
+        self.target = self.target[perm_j]
+        self.weight = self.weight[perm_j]
+        self.ii = self.ii[keep]
+        self.jj = self.jj[keep]
+        self.age = self.age[keep]
+
+    def rm_keyframe(self, state: video_lib.VideoState, ix: int) -> video_lib.VideoState:
+        """Remove keyframe ix: compact the video buffer and remap edge
+        indices (factor_graph.py:163-221)."""
+        state = video_lib.remove_keyframe(state, jnp.asarray(ix))
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1, self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1, self.jj_inac)
+        if m.any():
+            keep = np.nonzero(~m)[0]
+            pad = np.arange(len(m), self.cap_inac)
+            perm = jnp.asarray(np.concatenate([keep, np.nonzero(m)[0], pad]))
+            self.target_inac = self.target_inac[perm]
+            self.weight_inac = self.weight_inac[perm]
+            self.ii_inac = self.ii_inac[keep]
+            self.jj_inac = self.jj_inac[keep]
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+        return state
+
+    def clear_edges(self):
+        self.rm_factors(np.ones(self.n_active, bool), store=False)
+
+    # ------------------------------------------------------------------
+
+    def update(
+        self,
+        state: video_lib.VideoState,
+        t0: Optional[int] = None,
+        t1: Optional[int] = None,
+        iters: int = 2,
+        use_inactive: bool = False,
+        motion_only: bool = False,
+        lm: float = 1e-4,
+        ep: float = 0.1,
+    ) -> video_lib.VideoState:
+        if self.n_active == 0:
+            return state
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        t0 = max(1, t0)
+        if t1 is None:
+            t1 = int(max(self.ii.max(), self.jj.max())) + 1
+
+        ii, jj, mask = self._padded_indices()
+        if use_inactive:
+            ii_i, jj_i, m_i, tgt_i, w_i = self._padded_inactive(t0)
+        else:
+            ii_i = jnp.zeros(self.cap_inac, jnp.int32)
+            jj_i = jnp.zeros(self.cap_inac, jnp.int32)
+            m_i = jnp.zeros(self.cap_inac, jnp.float32)
+            tgt_i, w_i = self.target_inac, self.weight_inac
+
+        state, self.net, self.target, self.weight, self._upmask = update_step(
+            state, self.params, self.intrinsics,
+            ii, jj, mask, self.net, self.target,
+            ii_i, jj_i, m_i, tgt_i, w_i,
+            jnp.asarray(t0), jnp.asarray(t1),
+            window=self.window, iters=iters, motion_only=motion_only,
+            lm=lm, ep=ep, update_fn=self.update_fn, agg_fn=self.agg_fn,
+        )
+        self.age += 1
+        return state
+
+    # ------------------------------------------------------------------
+    # edge proposal (host-side, O(window^2) — SURVEY.md §7.3)
+    # ------------------------------------------------------------------
+
+    def add_neighborhood_factors(self, state, t0: int, t1: int, r: int = 3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1), indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(state, ii[keep], jj[keep])
+
+    def add_proximity_factors(
+        self, state, t: int, t0: int = 0, t1: int = 0,
+        rad: int = 2, nms: int = 2, beta: float = 0.25,
+        thresh: float = 16.0, remove: bool = False,
+    ):
+        """Greedy distance-sorted edge proposal with NMS
+        (factor_graph.py:409-471). `t` = current keyframe count."""
+        ilen, jlen = t - t0, t - t1
+        if ilen <= 0 or jlen <= 0:
+            return
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+        d = np.array(
+            video_lib.frame_distance(
+                state, self.intrinsics, jnp.asarray(ii), jnp.asarray(jj), beta=beta
+            )
+        )  # np.array: writable copy (np.asarray of a jax array is read-only)
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+        d = d.reshape(ilen, jlen)
+
+        # suppress around existing edges
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        for i, j in zip(ii1, jj1):
+            if (t0 <= i < t) and (t1 <= j < t):
+                di, dj = int(i) - t0, int(j) - t1
+                d[max(0, di - nms):di + nms + 1, max(0, dj - nms):dj + nms + 1] = np.inf
+
+        es = []
+        for i in range(t0, t):
+            for j in range(max(i - rad, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                di, dj = i - t0, j - t1
+                if 0 <= dj < jlen:
+                    d[max(0, di - nms):di + nms + 1, max(0, dj - nms):dj + nms + 1] = np.inf
+
+        order = np.argsort(d.reshape(-1))
+        for k in order:
+            if not np.isfinite(d.reshape(-1)[k]) or d.reshape(-1)[k] > thresh:
+                break
+            if len(es) > self.max_factors:
+                break
+            di, dj = k // jlen, k % jlen
+            if d[di, dj] > thresh:
+                continue
+            i, j = int(ii[k]), int(jj[k])
+            es += [(i, j), (j, i)]
+            d[max(0, di - nms):di + nms + 1, max(0, dj - nms):dj + nms + 1] = np.inf
+
+        if es:
+            es = np.asarray(es)
+            self.add_factors(state, es[:, 0], es[:, 1], remove)

@@ -1,0 +1,74 @@
+"""Tracker facade: per-frame motion filtering + frontend updates.
+
+Rebuild of `/root/reference/mp_slam/tracker.py`: `run(timestamp, image,
+depth, gt_pose)` feeds one input frame through the motion filter and, when
+admitted, the frontend. Owns the keyframe video buffer and the host-side
+counter (the reference's `DepthVideo.counter` mp.Value).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import video as video_lib
+from .backend import Backend
+from .frontend import Frontend
+from .motion_filter import MotionFilter
+
+
+class Tracker:
+    def __init__(self, config, params: Dict, intrinsics_full: np.ndarray,
+                 update_fn=None, agg_fn=None):
+        """intrinsics_full: (fx, fy, cx, cy) at the tracking resolution
+        (cam.H_out x cam.W_out); stored internally at 1/8."""
+        self.config = config
+        self.params = params
+        tr = config["tracking"]
+        self.buffer = tr["buffer"]
+        H_out, W_out = config["cam"]["H_out"], config["cam"]["W_out"]
+        self.ht, self.wd = H_out // 8, W_out // 8
+        self.intrinsics = jnp.asarray(np.asarray(intrinsics_full) / 8.0)
+
+        self.state = video_lib.init_video(self.buffer, self.ht, self.wd)
+        self.counter = 0
+
+        self.motion_filter = MotionFilter(params, thresh=tr["motion_filter"]["thresh"])
+        self.backend = Backend(params, self.intrinsics, config, self.buffer,
+                               self.ht, self.wd, update_fn=update_fn, agg_fn=agg_fn)
+        self.frontend = Frontend(params, self.intrinsics, config, self.buffer,
+                                 self.ht, self.wd, update_fn=update_fn, agg_fn=agg_fn,
+                                 backend=self.backend)
+
+    def run(
+        self,
+        timestamp: float,
+        image: jax.Array,                # [3, H_out, W_out] in [0, 1]
+        depth: Optional[jax.Array] = None,   # [H_out, W_out]
+        gt_pose: Optional[jax.Array] = None, # [4, 4] c2w
+    ) -> bool:
+        """Track one frame (mp_slam/tracker.py:51-65); returns admitted?"""
+        self.state, self.counter, admitted = self.motion_filter.track(
+            self.state, self.counter, timestamp, image, depth, gt_pose
+        )
+        if admitted or self.frontend.is_initialized:
+            self.state, self.counter = self.frontend(self.state, self.counter)
+        return admitted
+
+    def global_ba(self, steps: int = 6):
+        """Full dense BA over tracked history (mneslam_mp.py:51-87)."""
+        self.state, n, n_edges = self.backend.dense_ba(
+            self.state, self.counter, steps=steps
+        )
+        return n, n_edges
+
+    def poses_c2w(self, pose_compensate=None, first_gt=None) -> jax.Array:
+        return video_lib.get_poses_c2w(
+            self.state, self.counter, pose_compensate, first_gt
+        )
+
+    def keyframe_timestamps(self) -> np.ndarray:
+        return np.asarray(self.state.timestamps[: self.counter])

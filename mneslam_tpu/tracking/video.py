@@ -1,0 +1,235 @@
+"""Keyframe video buffer: static-shape device state + host counter.
+
+Rebuild of the reference `DepthVideo` (`/root/reference/tracker/depth_video.py`)
+as an explicit pytree: fixed-capacity ring buffer of keyframe state
+(timestamps, w2c poses, 1/8-res inverse depths, sensor disparities, feature/
+context maps, GT poses) with functional updates. The reference's thread
+locks and `mp.Value` counters disappear — SURVEY.md §7.1: super-steps are
+deterministic, so the host-side `counter` int is the only bookkeeping.
+
+Pose convention: world-to-camera [tx ty tz qx qy qz qw], same layout the
+reference stores (`depth_video.py:51,65`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba as ba_lib
+from ..ops import lie, projective
+
+
+class VideoState(NamedTuple):
+    timestamps: jax.Array   # [B]
+    poses: jax.Array        # [B, 7] w2c
+    poses_gt: jax.Array     # [B, 4, 4] c2w
+    disps: jax.Array        # [B, h, w] inverse depth (1/8 res)
+    disps_sens: jax.Array   # [B, h, w] sensor inverse depth (0 = none)
+    fmaps: jax.Array        # [B, 128, h, w]
+    nets: jax.Array         # [B, 128, h, w]
+    inps: jax.Array         # [B, 128, h, w]
+    damping: jax.Array      # [B, h, w] per-frame BA damping (graph state)
+
+
+def init_video(buffer: int, ht8: int, wd8: int, dtype=jnp.float32) -> VideoState:
+    return VideoState(
+        timestamps=jnp.zeros((buffer,), dtype),
+        poses=lie.identity((buffer,), dtype),
+        poses_gt=jnp.tile(jnp.eye(4, dtype=dtype), (buffer, 1, 1)),
+        disps=jnp.ones((buffer, ht8, wd8), dtype),
+        disps_sens=jnp.zeros((buffer, ht8, wd8), dtype),
+        fmaps=jnp.zeros((buffer, 128, ht8, wd8), dtype),
+        nets=jnp.zeros((buffer, 128, ht8, wd8), dtype),
+        inps=jnp.zeros((buffer, 128, ht8, wd8), dtype),
+        damping=1e-6 * jnp.ones((buffer, ht8, wd8), dtype),
+    )
+
+
+@jax.jit
+def append_frame(
+    state: VideoState,
+    index: jax.Array,
+    timestamp: jax.Array,
+    pose: Optional[jax.Array],
+    depth: Optional[jax.Array],     # full-res depth or None
+    fmap: jax.Array,
+    net: jax.Array,
+    inp: jax.Array,
+    gt_pose: jax.Array,
+) -> VideoState:
+    """Write one keyframe at `index` (depth_video.py:92-127): the sensor
+    disparity is subsampled at pixel centers (3::8) and seeds disps."""
+    upd = {
+        "timestamps": state.timestamps.at[index].set(timestamp),
+        "fmaps": state.fmaps.at[index].set(fmap),
+        "nets": state.nets.at[index].set(net),
+        "inps": state.inps.at[index].set(inp),
+        "poses_gt": state.poses_gt.at[index].set(gt_pose),
+    }
+    if pose is not None:
+        upd["poses"] = state.poses.at[index].set(pose)
+    if depth is not None:
+        d8 = depth[3::8, 3::8]
+        disp_sens = jnp.where(d8 > 0, 1.0 / jnp.maximum(d8, 1e-8), 0.0)
+        upd["disps_sens"] = state.disps_sens.at[index].set(disp_sens)
+        upd["disps"] = state.disps.at[index].set(
+            jnp.where(disp_sens > 0, disp_sens, jnp.ones_like(disp_sens))
+        )
+    return state._replace(**upd)
+
+
+@jax.jit
+def remove_keyframe(state: VideoState, ix: jax.Array) -> VideoState:
+    """Compact the buffer by dropping slot ix (factor_graph.py:163-206):
+    every buffer shifts down by one from ix."""
+    B = state.timestamps.shape[0]
+    idx = jnp.arange(B)
+    src = jnp.where(idx >= ix, jnp.minimum(idx + 1, B - 1), idx)
+    return jax.tree.map(lambda a: a[src], state)
+
+
+@jax.jit
+def seed_next_frame(state: VideoState, t1: jax.Array) -> VideoState:
+    """Initialize pose/disp of the next slot from the previous one
+    (frontend.py:100-101)."""
+    poses = state.poses.at[t1].set(state.poses[t1 - 1])
+    disps = state.disps.at[t1].set(jnp.mean(state.disps[t1 - 1]))
+    return state._replace(poses=poses, disps=disps)
+
+
+@jax.jit
+def reproject(state: VideoState, intrinsics: jax.Array, ii: jax.Array, jj: jax.Array):
+    return projective.projective_transform(state.poses, state.disps, intrinsics, ii, jj)
+
+
+@jax.jit
+def frame_distance(
+    state: VideoState,
+    intrinsics: jax.Array,
+    ii: jax.Array,
+    jj: jax.Array,
+    beta: float | jax.Array = 0.3,
+) -> jax.Array:
+    """Mean-flow distance metric (droid_kernels.cu frame_distance_kernel):
+    beta-blend of full-reprojection flow and translation-only flow, averaged
+    bidirectionally; 1000 where < 75% of pixels stay valid."""
+
+    def one_direction(a, b):
+        X0 = projective.iproj(state.disps[a], intrinsics)
+        Gij = lie.mul(state.poses[b], lie.inv(state.poses[a]))
+        X1 = lie.act4(Gij[:, None, None, :], X0)
+        coords_full, _ = projective.proj(X1, intrinsics)
+
+        # translation-only variant
+        X1t = X0.at[..., :3].add(X0[..., 3:4] * lie.translation(Gij)[:, None, None, :])
+        coords_trans, _ = projective.proj(X1t, intrinsics)
+
+        ht, wd = state.disps.shape[1:]
+        grid = projective.coords_grid(ht, wd)
+        d_full = jnp.linalg.norm(coords_full - grid, axis=-1)
+        d_trans = jnp.linalg.norm(coords_trans - grid, axis=-1)
+        v_full = (X1[..., 2] > projective.MIN_DEPTH).astype(d_full.dtype)
+        v_trans = (X1t[..., 2] > projective.MIN_DEPTH).astype(d_full.dtype)
+
+        accum = beta * jnp.sum(d_full * v_full, axis=(1, 2)) + \
+            (1 - beta) * jnp.sum(d_trans * v_trans, axis=(1, 2))
+        valid = beta * jnp.sum(v_full, axis=(1, 2)) + (1 - beta) * jnp.sum(v_trans, axis=(1, 2))
+        total = ht * wd  # beta + (1-beta) per pixel
+        frac = valid / (total + 1e-8)
+        return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
+
+    return 0.5 * (one_direction(ii, jj) + one_direction(jj, ii))
+
+
+def get_poses_c2w(
+    state: VideoState,
+    n: int,
+    pose_compensate: Optional[jax.Array] = None,
+    first_gt: Optional[jax.Array] = None,
+) -> jax.Array:
+    """w2c buffer poses -> c2w matrices with the reference's world alignment
+    (depth_video.py:185-218): optional compensation pose, then alignment to
+    the first GT pose with OpenGL column flips."""
+    w2c = state.poses[:n]
+    c2w = lie.inv(w2c)
+    if pose_compensate is not None:
+        c2w = lie.mul(pose_compensate[None], c2w)
+    M = lie.matrix(c2w)
+    if first_gt is not None:
+        trans = first_gt.at[:3, 1].multiply(-1.0).at[:3, 2].multiply(-1.0)
+        M = jnp.einsum("ij,njk->nik", trans, M)
+        M = M.at[:, :3, 1].multiply(-1.0).at[:, :3, 2].multiply(-1.0)
+    return M
+
+
+# ---------------------------------------------------------------------------
+# windowed dense BA over the buffer
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("window", "iters", "motion_only"))
+def windowed_ba(
+    state: VideoState,
+    intrinsics: jax.Array,
+    target: jax.Array,    # [E, h, w, 2]
+    weight: jax.Array,    # [E, h, w, 2]
+    ii: jax.Array,        # [E]
+    jj: jax.Array,        # [E]
+    mask: jax.Array,      # [E]
+    t0: jax.Array,
+    t1: jax.Array,
+    window: int = 32,
+    iters: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    motion_only: bool = False,
+    eps_damping: float = 1e-7,
+) -> VideoState:
+    """Slice a static `window` around the active frames, run the dense GN/
+    Schur BA (`ops/ba.bundle_adjust`), and write the slice back.
+
+    This keeps the compiled BA shape fixed regardless of where the window
+    sits in the buffer — the TPU answer to the CUDA kernel's dynamic [t0, t1)
+    indexing (`depth_video.py:337-350`). Edges whose endpoints fall outside
+    the slice are masked out.
+    """
+    B = state.poses.shape[0]
+    # window start: place so that [t0, t1) fits; frames before t0 that anchor
+    # edges (inactive factors reach t0-3) need slack, so back off a little.
+    w0 = jnp.clip(t1 - window, 0, max(B - window, 0))
+
+    sl_poses = jax.lax.dynamic_slice_in_dim(state.poses, w0, window, axis=0)
+    sl_disps = jax.lax.dynamic_slice_in_dim(state.disps, w0, window, axis=0)
+    sl_sens = jax.lax.dynamic_slice_in_dim(state.disps_sens, w0, window, axis=0)
+    sl_damp = jax.lax.dynamic_slice_in_dim(state.damping, w0, window, axis=0)
+
+    ii_w = ii - w0
+    jj_w = jj - w0
+    inb = (ii_w >= 0) & (ii_w < window) & (jj_w >= 0) & (jj_w < window)
+    m = mask * inb.astype(mask.dtype)
+    ii_w = jnp.clip(ii_w, 0, window - 1)
+    jj_w = jnp.clip(jj_w, 0, window - 1)
+
+    problem = ba_lib.BAProblem(
+        target=target,
+        weight=weight,
+        eta=0.2 * sl_damp + eps_damping,
+        ii=ii_w,
+        jj=jj_w,
+        mask=m,
+    )
+    new_poses, new_disps = ba_lib.bundle_adjust(
+        sl_poses, sl_disps, intrinsics, problem,
+        disps_sens=sl_sens,
+        t0=t0 - w0, t1=t1 - w0,
+        iters=iters, lm=lm, ep=ep, motion_only=motion_only,
+    )
+    new_disps = jnp.maximum(new_disps, 0.001)  # depth_video.py:350
+
+    return state._replace(
+        poses=jax.lax.dynamic_update_slice_in_dim(state.poses, new_poses, w0, axis=0),
+        disps=jax.lax.dynamic_update_slice_in_dim(state.disps, new_disps, w0, axis=0),
+    )

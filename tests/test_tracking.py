@@ -1,0 +1,205 @@
+"""Tracker machinery tests.
+
+The learned DROID weights aren't available offline, so the end-to-end test
+injects an ORACLE update op (delta = ground-truth reprojection - current)
+through the real graph/update/BA pipeline — exercising reprojection,
+correlation lookup plumbing, damping aggregation, padded edge tables,
+windowed BA, and keyframe removal, with known-correct supervision.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mneslam_tpu.models import droid_net
+from mneslam_tpu.ops import correlation, lie, projective
+from mneslam_tpu.tracking import video as video_lib
+from mneslam_tpu.tracking.graph import FactorGraph
+
+HT, WD = 12, 16
+INTR = jnp.asarray([12.0, 12.0, WD / 2 - 0.5, HT / 2 - 0.5])
+
+
+# ---------------------------------------------------------------------------
+# correlation
+# ---------------------------------------------------------------------------
+
+def brute_force_corr(f1, f2_pyr, coords, radius=3):
+    """Numpy reference mirroring corr_index_forward_kernel semantics."""
+    C, H, W = f1.shape
+    out_levels = []
+    for lvl, f2 in enumerate(f2_pyr):
+        _, H2, W2 = f2.shape
+        vol = np.einsum("cp,cq->pq", f1.reshape(C, -1), f2.reshape(C, -1)).reshape(H * W, H2, W2)
+        c = coords.reshape(-1, 2) / (2 ** lvl)
+        rd = 2 * radius + 1
+        corr = np.zeros((H * W, rd, rd), np.float64)
+        for p in range(H * W):
+            x0, y0 = c[p]
+            for i in range(rd):
+                for j in range(rd):
+                    x = x0 - radius + i
+                    y = y0 - radius + j
+                    xf, yf = int(np.floor(x)), int(np.floor(y))
+                    dx, dy = x - xf, y - yf
+                    v = 0.0
+                    for (cx, cy, w) in [(xf, yf, (1 - dx) * (1 - dy)), (xf + 1, yf, dx * (1 - dy)),
+                                        (xf, yf + 1, (1 - dx) * dy), (xf + 1, yf + 1, dx * dy)]:
+                        if 0 <= cx < W2 and 0 <= cy < H2:
+                            v += w * vol[p, cy, cx]
+                    corr[p, i, j] = v
+        out_levels.append(corr.reshape(H * W, rd * rd))
+    return np.concatenate(out_levels, -1).T.reshape(-1, H, W)
+
+
+def test_alt_corr_matches_brute_force():
+    key = jax.random.PRNGKey(0)
+    N, C = 3, 8
+    fmaps = jax.random.normal(key, (N, C, HT, WD))
+    coords = jnp.stack(
+        [jax.random.uniform(jax.random.fold_in(key, 1), (HT, WD), minval=-2, maxval=WD + 1),
+         jax.random.uniform(jax.random.fold_in(key, 2), (HT, WD), minval=-2, maxval=HT + 1)],
+        axis=-1,
+    )
+    ii = jnp.asarray([0, 1])
+    jj = jnp.asarray([1, 2])
+    out = correlation.alt_corr(fmaps, ii, jj, jnp.stack([coords, coords]), radius=3, chunk=2)
+
+    pyr = [np.asarray(p) for p in correlation.build_pyramid(fmaps)]
+    for e, (i, j) in enumerate([(0, 1), (1, 2)]):
+        ref = brute_force_corr(pyr[0][i], [p[j] for p in pyr], np.asarray(coords))
+        np.testing.assert_allclose(np.asarray(out[e]), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_pyramid_pooling():
+    x = jnp.arange(16.0).reshape(1, 1, 4, 4)
+    pyr = correlation.build_pyramid(x, num_levels=2)
+    # level 0 = x/4; level 1 = avg pool of level 0
+    np.testing.assert_allclose(np.asarray(pyr[0]), np.asarray(x) / 4)
+    expected = np.asarray([[2.5, 4.5], [10.5, 12.5]]) / 4
+    np.testing.assert_allclose(np.asarray(pyr[1][0, 0]), expected)
+
+
+# ---------------------------------------------------------------------------
+# droid nets: shapes + upsampling
+# ---------------------------------------------------------------------------
+
+def test_droid_net_shapes():
+    params = droid_net.init_droid_net(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 64, 96))
+    fmap = droid_net.feature_encoder(params, droid_net.normalize_images(img))
+    assert fmap.shape == (2, 128, 8, 12)
+    net, inp = droid_net.context_encoder(params, droid_net.normalize_images(img))
+    assert net.shape == (2, 128, 8, 12) and inp.shape == (2, 128, 8, 12)
+    assert float(jnp.max(jnp.abs(net))) <= 1.0  # tanh
+    assert float(jnp.min(inp)) >= 0.0           # relu
+
+    E = 3
+    corr = jax.random.normal(jax.random.PRNGKey(2), (E, 196, 8, 12))
+    net_e = jnp.zeros((E, 128, 8, 12))
+    inp_e = jnp.zeros((E, 128, 8, 12))
+    new_net, delta, weight = droid_net.update_apply(params["update"], net_e, inp_e, corr)
+    assert new_net.shape == (E, 128, 8, 12)
+    assert delta.shape == (E, 8, 12, 2)
+    assert weight.shape == (E, 8, 12, 2)
+    assert float(weight.min()) >= 0.0 and float(weight.max()) <= 1.0
+
+    ii = jnp.asarray([0, 0, 1])
+    eta, upmask = droid_net.agg_apply(params["update"]["agg"], new_net, ii,
+                                      jnp.ones(E), 4)
+    assert eta.shape == (E, 8, 12) and float(eta.min()) >= 0.0
+    assert upmask.shape == (E, 576, 8, 12)
+    # edges of the same source frame share agg outputs
+    np.testing.assert_allclose(np.asarray(eta[0]), np.asarray(eta[1]), atol=1e-6)
+
+
+def test_cvx_upsample_constant_field():
+    """Convex combination of a constant field is that constant (interior;
+    borders see the zero padding, same as torch's unfold)."""
+    data = 3.14 * jnp.ones((1, 4, 5, 2))
+    mask = jax.random.normal(jax.random.PRNGKey(0), (1, 576, 4, 5))
+    up = droid_net.cvx_upsample(data, mask)
+    assert up.shape == (1, 32, 40, 2)
+    np.testing.assert_allclose(np.asarray(up[:, 8:24, 8:32]), 3.14, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# oracle end-to-end: graph + BA recover poses
+# ---------------------------------------------------------------------------
+
+def make_oracle(gt_poses, gt_disps, intrinsics):
+    def update_fn(params, ii, jj, net, corr, motion, coords1):
+        gt_target, valid = projective.projective_transform(
+            gt_poses, gt_disps, intrinsics, ii, jj
+        )
+        delta = gt_target - coords1
+        weight = jnp.broadcast_to(valid, delta.shape)
+        return net, delta, weight
+
+    def agg_fn(params, net, ii, mask, B):
+        ht, wd = net.shape[2], net.shape[3]
+        return 1e-4 * jnp.ones((net.shape[0], ht, wd)), \
+            jnp.zeros((net.shape[0], 576, ht, wd))
+
+    return update_fn, agg_fn
+
+
+def test_graph_update_recovers_poses_with_oracle():
+    key = jax.random.PRNGKey(0)
+    n = 6
+    buffer = 8
+
+    phi = 0.02 * jax.random.normal(key, (n, 3))
+    t = jnp.cumsum(0.06 * jax.random.normal(jax.random.fold_in(key, 1), (n, 3)), axis=0)
+    gt_poses_n = jnp.concatenate([t, lie.so3_exp(phi)], -1).at[0].set(lie.identity())
+    gt_poses = jnp.concatenate([gt_poses_n, lie.identity((buffer - n,))])
+    gt_disps = jnp.broadcast_to(
+        0.4 + 0.2 * jax.random.uniform(jax.random.fold_in(key, 2), (1, HT, WD)),
+        (buffer, HT, WD),
+    )
+
+    state = video_lib.init_video(buffer, HT, WD)
+    state = state._replace(disps=gt_disps, disps_sens=gt_disps)
+    # noisy initial poses (first fixed)
+    dxi = 0.05 * jax.random.normal(jax.random.fold_in(key, 3), (buffer, 6)).at[0].set(0.0)
+    state = state._replace(poses=lie.retr(gt_poses, dxi))
+
+    update_fn, agg_fn = make_oracle(gt_poses, gt_disps, INTR)
+    graph = FactorGraph(buffer, HT, WD, capacity=40, params={}, intrinsics=INTR,
+                        window=8, update_fn=update_fn, agg_fn=agg_fn)
+    graph.add_neighborhood_factors(state, 0, n, r=2)
+    assert graph.n_active > 0
+
+    err0 = float(jnp.max(jnp.linalg.norm(
+        lie.log(lie.mul(state.poses[:n], lie.inv(gt_poses[:n]))), axis=-1)))
+    for _ in range(6):
+        state = graph.update(state, t0=1, t1=n, iters=2, ep=1e-3, lm=1e-5)
+    err1 = float(jnp.max(jnp.linalg.norm(
+        lie.log(lie.mul(state.poses[:n], lie.inv(gt_poses[:n]))), axis=-1)))
+    assert err1 < 0.05 * err0, f"oracle tracking did not converge: {err0} -> {err1}"
+
+
+def test_keyframe_removal_consistency():
+    buffer = 6
+    state = video_lib.init_video(buffer, HT, WD)
+    state = state._replace(timestamps=jnp.arange(buffer, dtype=jnp.float32))
+    graph = FactorGraph(buffer, HT, WD, capacity=20, params={}, intrinsics=INTR,
+                        window=8,
+                        update_fn=lambda *a: None, agg_fn=lambda *a: None)
+    graph.add_factors(state, [0, 1, 2, 3], [1, 2, 3, 4])
+    state = graph.rm_keyframe(state, 2)
+    # edges touching removed frame dropped; higher indices shifted
+    assert set(zip(graph.ii.tolist(), graph.jj.tolist())) == {(0, 1), (2, 3)}
+    # buffer compacted: timestamps shift down
+    np.testing.assert_allclose(np.asarray(state.timestamps[:4]), [0, 1, 3, 4])
+
+
+def test_frame_distance_properties():
+    state = video_lib.init_video(4, HT, WD)
+    d_same = video_lib.frame_distance(state, INTR, jnp.asarray([0]), jnp.asarray([1]))
+    assert float(d_same[0]) < 1e-4  # identical poses/disps -> zero flow
+    # large translation -> large distance
+    poses = state.poses.at[2].set(jnp.asarray([3.0, 0, 0, 0, 0, 0, 1]))
+    state2 = state._replace(poses=poses)
+    d_far = video_lib.frame_distance(state2, INTR, jnp.asarray([0]), jnp.asarray([2]))
+    assert float(d_far[0]) > float(d_same[0]) + 1.0
