@@ -1,0 +1,137 @@
+"""Benchmark harness: tracking FPS + mapping rate at Replica shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Baseline (BASELINE.md north star): >30 FPS tracking on TPU v5e. The
+benchmark uses the reference's Replica working shapes — tracking at
+320x640 (1/8-res 40x80, frontend window 25, 75 factors), mapping with
+2048 global + 100 current rays, 43 depth-guided samples, c_dim 32
+coarse+fine tri-planes over an 8 m bound — on synthetic data (weights and
+datasets are external inputs; shapes, not content, determine throughput).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping.mapper import Mapper
+    from mneslam_tpu.models import droid_net
+    from mneslam_tpu.models.scene_rep import SceneRep
+    from mneslam_tpu.tracking import video as video_lib
+    from mneslam_tpu.tracking.graph import FactorGraph
+    from mneslam_tpu.tracking.motion_filter import encode_frame, encode_context, flow_magnitude
+
+    if args.quick:
+        H, W, buffer, window, factors, n_rays, iters = 128, 160, 32, 16, 24, 512, 10
+        bound, coarse, fine = 2.2, 0.24, 0.12
+    else:
+        H, W, buffer, window, factors, n_rays, iters = 320, 640, 64, 32, 75, 2048, 50
+        bound, coarse, fine = 4.0, 0.04, 0.02
+
+    cfg = make_config({
+        "mapping": {"bound": [[-bound, bound]] * 3,
+                    "marching_cubes_bound": [[-bound, bound]] * 3,
+                    "sample": n_rays, "min_pixels_cur": 100, "iters": iters},
+        "planes_res": {"coarse": coarse, "fine": fine, "bound_dividable": coarse},
+        "cam": {"H": H, "W": W, "fx": W / 2, "fy": W / 2,
+                "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 10.0},
+        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1},
+        "tracking": {"buffer": buffer},
+    })
+
+    dev = jax.devices()[0]
+    ht8, wd8 = H // 8, W // 8
+
+    # ---- tracking components ----
+    params = droid_net.init_droid_net(jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.default_rng(0).random((3, H, W), np.float32))
+
+    fmap = encode_frame(params, img)  # warm
+    net, inp = encode_context(params, img)
+    _ = flow_magnitude(params, fmap, fmap, net, inp).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        f2 = encode_frame(params, img)
+        flow_magnitude(params, fmap, f2, net, inp).block_until_ready()
+    per_frame = (time.perf_counter() - t0) / args.reps
+    track_fps = 1.0 / per_frame
+
+    # frontend update step (the per-keyframe cost): window of edges
+    state = video_lib.init_video(buffer, ht8, wd8)
+    rng = np.random.default_rng(1)
+    state = state._replace(
+        fmaps=jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1,
+        inps=jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1,
+        disps=jnp.ones((buffer, ht8, wd8)) * 0.5,
+    )
+    intr8 = jnp.asarray([W / 16, W / 16, W / 16 - 0.5, H / 16 - 0.5])
+    graph = FactorGraph(buffer, ht8, wd8, capacity=factors + 16, params=params,
+                        intrinsics=intr8, window=window, max_factors=factors)
+    n_kf = min(window - 2, 20)
+    ii = np.concatenate([np.arange(0, n_kf - 1), np.arange(1, n_kf)])[:factors]
+    jj = np.concatenate([np.arange(1, n_kf), np.arange(0, n_kf - 1)])[:factors]
+    graph.add_factors(state, ii, jj)
+    state = graph.update(state, t0=1, t1=n_kf, iters=2)  # warm/compile
+    jax.block_until_ready(state.poses)
+    t0 = time.perf_counter()
+    for _ in range(max(args.reps // 2, 2)):
+        state = graph.update(state, t0=1, t1=n_kf, iters=2)
+        jax.block_until_ready(state.poses)
+    per_update = (time.perf_counter() - t0) / max(args.reps // 2, 2)
+
+    # ---- mapping ----
+    ds = SyntheticBoxDataset(cfg, num_frames=4, half=bound * 0.9)
+    scene = SceneRep(cfg)
+    mapper = Mapper(cfg, scene, num_kf=8, rays_per_kf=ds.num_rays_to_save)
+    mstate = mapper.init_state(jax.random.PRNGKey(2))
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+    mstate = mapper.add_keyframe(mstate, jnp.asarray(0), frame, pose, jax.random.PRNGKey(3))
+    mstate, _ = mapper.optimize(mstate, frame, pose, jax.random.PRNGKey(4), iters=iters)
+    jax.block_until_ready(mstate.params)
+    t0 = time.perf_counter()
+    reps = max(args.reps // 2, 2)
+    for r in range(reps):
+        mstate, _ = mapper.optimize(mstate, frame, pose, jax.random.PRNGKey(5 + r), iters=iters)
+        jax.block_until_ready(mstate.params)
+    per_kf = (time.perf_counter() - t0) / reps
+    map_iters_per_s = iters / per_kf
+    map_hz = 1.0 / per_kf
+
+    result = {
+        "metric": "replica_shapes_tracking_fps",
+        "value": round(track_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(track_fps / 30.0, 3),
+        "extra": {
+            "device": str(dev),
+            "quick": args.quick,
+            "frontend_update_ms": round(per_update * 1e3, 1),
+            "map_iters_per_s": round(map_iters_per_s, 1),
+            "map_keyframe_hz": round(map_hz, 2),
+            "map_iters_per_kf": iters,
+            "track_frame_ms": round(per_frame * 1e3, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

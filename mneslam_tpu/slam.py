@@ -1,0 +1,305 @@
+"""MNESLAM orchestrator: deterministic track / map / global-BA interleave.
+
+Rebuild of the reference `MNESLAM` class (`/root/reference/mneslam_mp.py:90-753`).
+The reference runs three Python threads (tracking / mapping / global BA)
+racing over shared CUDA tensors with spin-wait counters; per SURVEY.md §7.1
+this becomes a deterministic interleave of jitted super-steps — per input
+frame run the tracker; whenever the mapper lags the tracker by more than one
+keyframe, map the next pending keyframe; every `global_ba_every` keyframes
+run a full-history BA. Functionally equivalent, with the reference's
+documented race hazards (SURVEY.md §5.2) designed out.
+
+Output contract matches the reference: `output/<exp>/agent_<rank>/` with
+`est_poses.npy`, `key_est_poses.npy`, `key_timestamps.npy`,
+`metrics_traj.txt`, `mesh/*.ply`, `final_checkpoint.npz`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import make_config
+from .data.rays import get_camera_rays
+from .eval import ate as ate_lib
+from .mapping.mapper import Mapper
+from .mapping.mesher import extract_mesh
+from .models import droid_net
+from .models.scene_rep import SceneRep
+from .ops import lie
+from .tracking import video as video_lib
+from .tracking.tracker import Tracker
+from .tracking.trajectory_filler import PoseTrajectoryFiller
+
+
+class MNESLAM:
+    def __init__(
+        self,
+        config: Dict,
+        dataset,
+        rank: int = 0,
+        world_size: int = 1,
+        droid_params: Optional[Dict] = None,
+        update_fn=None,
+        agg_fn=None,
+        comms=None,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.rank = rank
+        self.world_size = world_size
+        self.comms = comms
+        self.mode = config.get("mode", "slam")  # "slam" | "mapping"
+
+        out_root = config["data"].get("output", "output")
+        exp = config["data"].get("exp_name", "exp")
+        self.out_dir = os.path.join(out_root, exp, f"agent_{rank}")
+        os.makedirs(os.path.join(self.out_dir, "mesh"), exist_ok=True)
+
+        self.scene = SceneRep(config)
+        num_kf = int(len(dataset) // config["mapping"]["keyframe_every"] + 1)
+        self.mapper = Mapper(config, self.scene, num_kf=num_kf,
+                             rays_per_kf=dataset.num_rays_to_save)
+        self.map_state = self.mapper.init_state(jax.random.PRNGKey(42 + rank))
+        self.key = jax.random.PRNGKey(1000 + rank)
+
+        self.tracker = None
+        self.traj_filler = None
+        if self.mode == "slam":
+            if droid_params is None:
+                pretrained = config["tracking"].get("pretrained")
+                if pretrained and os.path.exists(str(pretrained)):
+                    droid_params = droid_net.load_droid_weights(str(pretrained))
+                else:
+                    droid_params = droid_net.init_droid_net(jax.random.PRNGKey(7))
+            cam = config["cam"]
+            sx = cam["W_out"] / cam["W"]
+            sy = cam["H_out"] / cam["H"]
+            intr = np.asarray([cam["fx"] * sx, cam["fy"] * sy,
+                               cam["cx"] * sx, cam["cy"] * sy])
+            self.tracker = Tracker(config, droid_params, intr,
+                                   update_fn=update_fn, agg_fn=agg_fn)
+            self.traj_filler = PoseTrajectoryFiller(
+                droid_params, self.tracker.intrinsics,
+                update_fn=update_fn, agg_fn=agg_fn,
+            )
+
+        # mapper progress
+        self.map_counter = 0
+        self.mapped_timestamps: list[float] = []
+        self.first_frame_mapped = False
+        self.global_ba_every = int(config["mapping"].get("global_ba_every", 10))
+        self.metrics_log: list[Dict] = []
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _frame_for_mapping(self, idx: int) -> Dict[str, jax.Array]:
+        item = self.dataset[idx]
+        return {
+            "direction": jnp.asarray(item["direction"]),
+            "rgb": jnp.asarray(item["rgb"]),
+            "depth": jnp.asarray(item["depth"]),
+        }, jnp.asarray(item["c2w"])
+
+    def _tracked_pose_c2w(self, kf_index: int) -> jax.Array:
+        """c2w of keyframe kf_index in the GT-aligned world frame
+        (depth_video.py:185-218)."""
+        poses = video_lib.get_poses_c2w(
+            self.tracker.state, self.tracker.counter,
+            first_gt=self.tracker.state.poses_gt[0],
+        )
+        return poses[kf_index]
+
+    def _refresh_mapped_poses(self):
+        """Propagate tracker pose updates into the mapper's keyframe slots,
+        matched by timestamp (the reference reads poses fresh per mapping
+        iteration, mp_slam/mapper.py:193-198)."""
+        if self.tracker is None:
+            return
+        kf_ts = np.asarray(self.tracker.state.timestamps[: self.tracker.counter])
+        all_poses = video_lib.get_poses_c2w(
+            self.tracker.state, self.tracker.counter,
+            first_gt=self.tracker.state.poses_gt[0],
+        )
+        for slot, ts in enumerate(self.mapped_timestamps):
+            hits = np.nonzero(kf_ts == ts)[0]
+            if len(hits):
+                self.map_state = self.mapper.update_kf_pose(
+                    self.map_state, jnp.asarray(int(hits[0])), all_poses[int(hits[0])]
+                )
+
+    # ------------------------------------------------------------------
+
+    def _map_keyframe(self, frame_idx: int, pose_c2w: jax.Array, first: bool):
+        frame, _ = self._frame_for_mapping(frame_idx)
+        frame["frame_id"] = frame_idx
+        if first:
+            self.map_state, metrics = self.mapper.first_frame_mapping(
+                self.map_state, frame, pose_c2w, self._next_key()
+            )
+            self.first_frame_mapped = True
+        else:
+            self.map_state = self.mapper.add_keyframe(
+                self.map_state, jnp.asarray(frame_idx), frame, pose_c2w, self._next_key()
+            )
+            self.map_state, metrics = self.mapper.optimize(
+                self.map_state, frame, pose_c2w, self._next_key(),
+                iters=int(self.config["mapping"]["iters"]),
+            )
+        self.mapped_timestamps.append(float(frame_idx))
+        self.metrics_log.append({k: float(v) for k, v in metrics.items()})
+        return metrics
+
+    # ------------------------------------------------------------------
+
+    def run_mapping_only(self, log_every: int = 10):
+        """BASELINE config #1: GT poses from the dataset, map every
+        keyframe_every-th frame."""
+        every = int(self.config["mapping"]["keyframe_every"])
+        t0 = time.time()
+        for idx in range(0, len(self.dataset), every):
+            _, pose = self._frame_for_mapping(idx)
+            self._map_keyframe(idx, pose, first=not self.first_frame_mapped)
+            if (idx // every) % log_every == 0:
+                m = self.metrics_log[-1]
+                print(f"[agent {self.rank}] map kf {idx}: "
+                      f"psnr={m['psnr']:.1f} loss={m['loss']:.4f}")
+        elapsed = time.time() - t0
+        print(f"[agent {self.rank}] mapping-only done: "
+              f"{len(self.mapped_timestamps)} kfs in {elapsed:.1f}s")
+        return self.metrics_log
+
+    def run_slam(self):
+        """Full SLAM: per-frame tracking, lagged mapping, periodic global BA."""
+        cam = self.config["cam"]
+        last_global_ba = 0
+        for idx in range(len(self.dataset)):
+            item = self.dataset[idx]
+            img_track = self._to_tracking_res(item["rgb"])
+            depth_track = self._depth_to_tracking_res(item["depth"])
+            self.tracker.run(float(idx), img_track, depth=depth_track,
+                             gt_pose=jnp.asarray(item["c2w"]))
+
+            # map pending keyframes (stay >= 1 behind tracking —
+            # mp_slam/mapper.py:173-176's race guard, now deterministic)
+            warm = self.tracker.frontend.is_initialized
+            while warm and self.map_counter < self.tracker.counter - 1:
+                kf_idx = self.map_counter
+                ts = float(self.tracker.state.timestamps[kf_idx])
+                self._refresh_mapped_poses()
+                pose = self._tracked_pose_c2w(kf_idx)
+                self._map_keyframe(int(ts), pose, first=not self.first_frame_mapped)
+                self.map_counter += 1
+
+            # periodic global BA (the reference's BundleAdjustment thread)
+            if (self.tracker.counter - last_global_ba >= self.global_ba_every
+                    and self.tracker.counter > self.config["tracking"]["frontend"]["window"]):
+                self.tracker.global_ba(steps=2)
+                last_global_ba = self.tracker.counter
+
+        return self.terminate()
+
+    def _to_tracking_res(self, rgb: np.ndarray) -> jax.Array:
+        cam = self.config["cam"]
+        H_out, W_out = cam["H_out"], cam["W_out"]
+        img = jnp.asarray(rgb).transpose(2, 0, 1)
+        if rgb.shape[0] != H_out or rgb.shape[1] != W_out:
+            img = jax.image.resize(img, (3, H_out, W_out), "bilinear")
+        return img
+
+    def _depth_to_tracking_res(self, depth: np.ndarray) -> jax.Array:
+        cam = self.config["cam"]
+        H_out, W_out = cam["H_out"], cam["W_out"]
+        d = jnp.asarray(depth)
+        if depth.shape != (H_out, W_out):
+            d = jax.image.resize(d, (H_out, W_out), "nearest")
+        return d
+
+    # ------------------------------------------------------------------
+
+    def terminate(self):
+        """Final mesh + trajectory fill + ATE eval (mneslam_mp.py:632-737)."""
+        results = {}
+        # final mesh
+        mesh_path = os.path.join(self.out_dir, "mesh", "final_mesh.ply")
+        try:
+            verts, faces, _ = extract_mesh(
+                self.scene, self.map_state.params, self.config, save_path=mesh_path
+            )
+            results["mesh_verts"] = len(verts)
+        except Exception as e:  # meshing must not kill the eval
+            print(f"[agent {self.rank}] meshing failed: {e}")
+
+        if self.tracker is not None and self.tracker.counter > 1:
+            n = self.tracker.counter
+            key_poses = np.asarray(video_lib.get_poses_c2w(
+                self.tracker.state, n, first_gt=self.tracker.state.poses_gt[0]))
+            key_ts = np.asarray(self.tracker.state.timestamps[:n])
+            np.save(os.path.join(self.out_dir, "key_est_poses.npy"), key_poses)
+            np.save(os.path.join(self.out_dir, "key_timestamps.npy"), key_ts)
+
+            # trajectory fill over all frames
+            def stream():
+                for idx in range(len(self.dataset)):
+                    yield float(idx), self._to_tracking_res(self.dataset[idx]["rgb"])
+
+            filled_w2c = self.traj_filler(self.tracker.state, n, stream())
+            # convert the filled w2c poses to GT-aligned c2w matrices
+            c2w = lie.inv(filled_w2c)
+            M = lie.matrix(c2w)
+            trans = self.tracker.state.poses_gt[0]
+            trans = trans.at[:3, 1].multiply(-1.0).at[:3, 2].multiply(-1.0)
+            M = jnp.einsum("ij,njk->nik", trans, M)
+            M = M.at[:, :3, 1].multiply(-1.0).at[:, :3, 2].multiply(-1.0)
+            est_poses = np.asarray(M)
+            np.save(os.path.join(self.out_dir, "est_poses.npy"), est_poses)
+
+            gt = np.stack([self.dataset[i]["c2w"] for i in range(len(self.dataset))])
+            metrics = ate_lib.evaluate_ate(gt, est_poses, alignment="sim3")
+            ate_lib.save_trajectory_metrics(
+                os.path.join(self.out_dir, "metrics_traj.txt"), metrics)
+            results["ate"] = metrics
+            print(f"[agent {self.rank}] APE(sim3) rmse={metrics['rmse']:.4f} m")
+
+        self.save_checkpoint(os.path.join(self.out_dir, "final_checkpoint.npz"))
+        return results
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Flat-npz checkpoint of the map params + keyframe poses (the
+        reference's final_checkpoint.pt contract, mneslam_mp.py:317-340)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.map_state.params)[0]
+        arrays = {"/".join(str(k) for k in path_): np.asarray(v) for path_, v in flat}
+        arrays["__kf_poses"] = np.asarray(self.map_state.kf_poses)
+        arrays["__kf_count"] = np.asarray(self.map_state.db.count)
+        np.savez(path, **arrays)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.map_state.params)
+        new_leaves = [jnp.asarray(data["/".join(str(k) for k in p)]) for p, _ in flat]
+        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self.map_state = self.map_state._replace(
+            params=params,
+            kf_poses=jnp.asarray(data["__kf_poses"]),
+        )
+
+
+def build_slam(overrides: Optional[Dict] = None, dataset=None, **kw) -> MNESLAM:
+    """Convenience constructor used by tests and the benchmark."""
+    cfg = make_config(overrides)
+    if dataset is None:
+        from .data.synthetic import SyntheticBoxDataset
+
+        dataset = SyntheticBoxDataset(cfg)
+    return MNESLAM(cfg, dataset, **kw)

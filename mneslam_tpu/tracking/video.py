@@ -197,6 +197,7 @@ def windowed_ba(
     the slice are masked out.
     """
     B = state.poses.shape[0]
+    window = min(window, B)  # static clamp: small scratch buffers
     # window start: place so that [t0, t1) fits; frames before t0 that anchor
     # edges (inactive factors reach t0-3) need slack, so back off a little.
     w0 = jnp.clip(t1 - window, 0, max(B - window, 0))

@@ -1,0 +1,117 @@
+"""Orchestrator tests: mapping-only end-to-end run + checkpoint roundtrip +
+trajectory filler with an oracle update op."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+from mneslam_tpu.slam import MNESLAM
+
+
+def tiny_config(tmp_path):
+    return make_config({
+        "mode": "mapping",
+        "data": {"output": str(tmp_path), "exp_name": "t"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3,
+            "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 384, "min_pixels_cur": 64,
+            "first_iters": 80, "iters": 15, "keyframe_every": 3,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": 40, "W": 56, "fx": 35.0, "fy": 35.0, "cx": 27.5, "cy": 19.5,
+                "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+        "meshing": {"resolution": 0.12},
+    })
+
+
+def test_mapping_only_pipeline(tmp_path):
+    cfg = tiny_config(tmp_path)
+    ds = SyntheticBoxDataset(cfg, num_frames=9)
+    slam = MNESLAM(cfg, ds, rank=0)
+    metrics = slam.run_mapping_only(log_every=100)
+    assert len(metrics) == 3  # frames 0, 3, 6
+    assert metrics[-1]["psnr"] > 16.0
+
+    # checkpoint roundtrip
+    ckpt = os.path.join(str(tmp_path), "ck.npz")
+    slam.save_checkpoint(ckpt)
+    psnr_before = metrics[-1]["psnr"]
+    slam2 = MNESLAM(cfg, ds, rank=1)
+    slam2.load_checkpoint(ckpt)
+    a = jax.tree.leaves(slam.map_state.params)
+    b = jax.tree.leaves(slam2.map_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    # terminate produces a mesh
+    res = slam.terminate()
+    assert res.get("mesh_verts", 0) > 100
+    assert os.path.exists(os.path.join(slam.out_dir, "mesh", "final_mesh.ply"))
+
+
+def test_trajectory_filler_oracle():
+    """Filler recovers intermediate poses on a synthetic trajectory."""
+    from mneslam_tpu.ops import lie, projective
+    from mneslam_tpu.tracking import video as video_lib
+    from mneslam_tpu.tracking.trajectory_filler import PoseTrajectoryFiller
+    from mneslam_tpu.models import droid_net
+
+    HT, WD = 12, 16
+    intr = jnp.asarray([12.0, 12.0, WD / 2 - 0.5, HT / 2 - 0.5])
+    key = jax.random.PRNGKey(0)
+
+    # keyframes at t = 0, 4, 8, ... with smooth motion
+    n_kf, buffer = 5, 8
+    all_t = np.arange(17, dtype=np.float64)  # frames 0..16
+    def gt_pose(t):
+        xi = jnp.asarray([0.05 * t, 0.02 * t, 0.0, 0.0, 0.01 * t, 0.0])
+        return lie.exp(xi)
+    kf_ts = all_t[::4]
+
+    state = video_lib.init_video(buffer, HT, WD)
+    gt_disps = jnp.broadcast_to(
+        0.4 + 0.2 * jax.random.uniform(key, (1, HT, WD)), (buffer, HT, WD))
+    poses = jnp.stack([gt_pose(t) for t in kf_ts] + [lie.identity()] * (buffer - n_kf))
+    state = state._replace(
+        poses=poses, disps=gt_disps, disps_sens=gt_disps,
+        timestamps=jnp.asarray(list(kf_ts) + [0.0] * (buffer - n_kf)),
+    )
+
+    # oracle: gt poses known for every mini-buffer slot via timestamps —
+    # here we exploit that targets computed from gt poses at the CURRENT
+    # slot layout equal reprojections under the seed-perturbed poses' GT.
+    # The mini-buffer orders [anchors | chunk]; anchors already hold GT.
+    # For chunk frames, gt targets come from interpolated gt (exact for
+    # this constant-velocity trajectory), so delta drives poses to GT.
+    params = droid_net.init_droid_net(jax.random.PRNGKey(1))
+
+    def update_fn(p, ii, jj, net, corr, motion, coords1):
+        # constant-velocity GT: pose(t) known analytically from timestamps
+        # stored in the mini state — but update_fn has no state access, so
+        # approximate: zero delta (keeps seeds). Seeds are exact for this
+        # trajectory because interpolation of a constant-twist motion is exact.
+        return net, jnp.zeros_like(coords1), jnp.ones_like(coords1)
+
+    def agg_fn(p, net, ii, mask, B):
+        ht, wd = net.shape[2], net.shape[3]
+        return 1e-4 * jnp.ones((net.shape[0], ht, wd)), \
+            jnp.zeros((net.shape[0], 576, ht, wd))
+
+    filler = PoseTrajectoryFiller(params, intr, update_fn=update_fn, agg_fn=agg_fn)
+
+    frames = [(t, jax.random.uniform(jax.random.fold_in(key, int(t)),
+                                     (3, HT * 8, WD * 8))) for t in all_t]
+    filled = filler(state, n_kf, iter(frames))
+    assert filled.shape == (17, 7)
+
+    # constant-twist trajectory: geodesic interpolation is exact
+    for t in all_t:
+        err = float(jnp.linalg.norm(lie.log(lie.mul(filled[int(t)], lie.inv(gt_pose(t))))))
+        assert err < 5e-2, f"frame {t}: pose error {err}"
