@@ -1,0 +1,161 @@
+"""Multi-agent layer tests: descriptors, loop detection, pose alignment,
+trajectory deformation, and a 2-agent fusion run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mneslam_tpu.agents import fusion
+from mneslam_tpu.agents.comms import InMemoryComms
+from mneslam_tpu.agents.loop_detector import LoopDetector, find_mutual_matches
+from mneslam_tpu.agents.netvlad import stub_descriptor
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+
+
+def tiny_cfg(tmp_path=None, rank_bounds=True):
+    cfg = make_config({
+        "mode": "mapping",
+        "data": {"output": str(tmp_path) if tmp_path else "/tmp/ma", "exp_name": "t"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 256, "min_pixels_cur": 48, "first_iters": 60, "iters": 12,
+            "keyframe_every": 2, "loop_iters": 40, "distill_iters": 20,
+            "lr_rot": 0.01, "lr_trans": 0.01,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": 40, "W": 56, "fx": 35.0, "fy": 35.0, "cx": 27.5, "cy": 19.5,
+                "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+        "loop_detection": {"enabled": True, "sim_threshold": 0.85,
+                           "min_time_diff": 6, "loop_launch_th": 2,
+                           "min_matches_for_fusion": 1},
+    })
+    if rank_bounds:
+        cfg["loop_bound"] = {"bound_0": [[-2.2, 2.2]] * 3, "bound_1": [[-2.2, 2.2]] * 3}
+    return cfg
+
+
+def test_stub_descriptor_locality():
+    cfg = tiny_cfg()
+    ds = SyntheticBoxDataset(cfg, num_frames=24)
+    d0 = np.asarray(stub_descriptor(jnp.asarray(ds[0]["rgb"])))
+    d1 = np.asarray(stub_descriptor(jnp.asarray(ds[1]["rgb"])))
+    d12 = np.asarray(stub_descriptor(jnp.asarray(ds[12]["rgb"])))
+    assert float(d0 @ d0) > 0.999
+    assert float(d0 @ d1) > float(d0 @ d12), "nearby view should be more similar"
+
+
+def test_loop_detector_filters_same_agent_recent():
+    cfg = tiny_cfg()
+    comms = InMemoryComms()
+    det = LoopDetector(cfg, comms, lambda img: stub_descriptor(img))
+    ds = SyntheticBoxDataset(cfg, num_frames=24)
+
+    # agent 0 adds early keyframes
+    assert det.detect_and_add(0, 0, jnp.asarray(ds[0]["rgb"])) is None
+    assert det.detect_and_add(2, 0, jnp.asarray(ds[2]["rgb"])) is None
+    # same agent, recent frame: suppressed by min_time_diff even if similar
+    info = det.detect_and_add(4, 0, jnp.asarray(ds[2]["rgb"]))
+    assert info is None or abs(4 - info["match_kf_id"]) >= 6
+    # other agent at the same viewpoint: match fires
+    info = det.detect_and_add(2, 1, jnp.asarray(ds[2]["rgb"]))
+    assert info is not None and info["match_agent_id"] == 0
+
+
+def test_find_mutual_matches():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((4, 16))
+    local = [{"descriptor": base[i], "kf_id": i} for i in range(4)]
+    foreign = [{"descriptor": base[i] + 0.01 * rng.standard_normal(16), "kf_id": 10 + i}
+               for i in range(4)]
+    m = find_mutual_matches(local, foreign, sim_threshold=0.9)
+    assert len(m) == 4
+    assert all(match["foreign_kf_id"] == match["local_kf_id"] + 10 for match in m)
+
+
+def test_deform_trajectory_limits():
+    poses = jnp.tile(jnp.eye(4), (5, 1, 1))
+    poses = poses.at[:, 0, 3].set(jnp.arange(5.0))
+    shift = jnp.eye(4).at[1, 3].set(1.0)   # +1 in y
+    # min_weight=1 -> full transform everywhere
+    out = fusion.deform_trajectory(poses, jnp.asarray(2), shift,
+                                   decay_sigma=1.0, min_weight=1.0)
+    np.testing.assert_allclose(np.asarray(out[:, 1, 3]), 1.0, atol=1e-6)
+    # identity relative -> unchanged
+    out2 = fusion.deform_trajectory(poses, jnp.asarray(2), jnp.eye(4))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(poses), atol=1e-6)
+    # decay: the loop keyframe moves most
+    out3 = fusion.deform_trajectory(poses, jnp.asarray(2), shift,
+                                    decay_sigma=1.0, min_weight=0.0)
+    dy = np.asarray(out3[:, 1, 3])
+    assert dy[2] > dy[0] and dy[2] > dy[4]
+    assert abs(dy[2] - 1.0) < 1e-5
+
+
+def test_render_pose_alignment_recovers_perturbation(tmp_path):
+    """Train a map, perturb a pose, recover it by render alignment."""
+    from mneslam_tpu.slam import MNESLAM
+    from mneslam_tpu.ops import rotations
+
+    cfg = tiny_cfg(tmp_path)
+    ds = SyntheticBoxDataset(cfg, num_frames=8)
+    slam = MNESLAM(cfg, ds, rank=0)
+    slam.run_mapping_only(log_every=100)
+
+    base_c2w = jnp.asarray(ds[4]["c2w"])
+    # perturb: small rotation + translation
+    daa = jnp.asarray([0.06, -0.04, 0.05])
+    dt = jnp.asarray([0.08, -0.06, 0.05])
+    perturb = rotations.rot_trans_to_transform(daa, dt, "axis_angle")
+    target_init = perturb @ base_c2w
+
+    rays_d = jnp.asarray(np.asarray(ds[0]["direction"]).reshape(-1, 3)[
+        np.random.default_rng(0).integers(0, 40 * 56, 256)])
+    best_c2w, best_loss = fusion.align_pose_by_render(
+        slam.scene, slam.map_state.params, slam.scene, slam.map_state.params,
+        base_c2w, target_init, rays_d, jax.random.PRNGKey(0),
+        iters=60, lr_rot=0.01, lr_trans=0.01,
+    )
+    err0 = float(jnp.linalg.norm(target_init[:3, 3] - base_c2w[:3, 3]))
+    err1 = float(jnp.linalg.norm(best_c2w[:3, 3] - base_c2w[:3, 3]))
+    assert err1 < 0.5 * err0, f"pose alignment failed: {err0:.4f} -> {err1:.4f}"
+
+
+def test_two_agent_mapping_with_fusion(tmp_path):
+    """Two agents map different halves of the box room; loop detection and
+    bound fusion run end-to-end through the runner."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+    from mneslam_tpu.slam import MNESLAM
+
+    cfg0 = tiny_cfg(tmp_path)
+    cfg1 = tiny_cfg(tmp_path)
+    ds = SyntheticBoxDataset(cfg0, num_frames=16)
+
+    class Slice:
+        """Trajectory segment view of the dataset (start_index/end_index)."""
+        def __init__(self, ds, lo, hi):
+            self.ds, self.lo = ds, lo
+            self.n = hi - lo
+            self.num_rays_to_save = ds.num_rays_to_save
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            item = self.ds[self.lo + i]
+            item["frame_id"] = i
+            return item
+
+    a0 = MNESLAM(cfg0, Slice(ds, 0, 10), rank=0, world_size=2)
+    a1 = MNESLAM(cfg1, Slice(ds, 6, 16), rank=1, world_size=2)
+    runner = MultiAgentRunner([a0, a1])
+    metrics = runner.run_mapping_only()
+    assert len(metrics[0]) == 5 and len(metrics[1]) == 5
+    assert metrics[0][-1]["psnr"] > 14 and metrics[1][-1]["psnr"] > 14
+    # agents share overlapping views (frames 6-9) -> descriptors should match
+    db = runner.comms.descriptors()
+    assert len(db) == 10
+    # both agents published keyframes and checkpoints
+    assert runner.comms.get_keyframes(0) is not None
+    assert runner.comms.get_keyframes(1) is not None
+    assert runner.comms.get_checkpoint(0) is not None
