@@ -72,25 +72,49 @@ def marching_cubes(
     """
     volume = np.asarray(volume, dtype=np.float32)
     nx, ny, nz = volume.shape
-    all_verts = []
 
-    for z0 in range(0, nz - 1, slab):
-        z1 = min(z0 + slab, nz - 1)
-        v = _polygonize_slab(volume[:, :, z0 : z1 + 1], isovalue, truncation)
-        if v.size:
-            v[:, 2] += z0
-            all_verts.append(v)
+    tri_verts = _polygonize_native(volume, isovalue, truncation)
+    if tri_verts is None:
+        all_verts = []
+        for z0 in range(0, nz - 1, slab):
+            z1 = min(z0 + slab, nz - 1)
+            v = _polygonize_slab(volume[:, :, z0 : z1 + 1], isovalue, truncation)
+            if v.size:
+                v[:, 2] += z0
+                all_verts.append(v)
+        tri_verts = (np.concatenate(all_verts, axis=0) if all_verts
+                     else np.zeros((0, 3), np.float32))
 
-    if not all_verts:
+    if tri_verts.shape[0] == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-
-    tri_verts = np.concatenate(all_verts, axis=0)  # [3F, 3]
     verts, faces = _weld(tri_verts)
     if spacing is not None:
         verts = verts * np.asarray(spacing, np.float32)
     if origin is not None:
         verts = verts + np.asarray(origin, np.float32)
     return verts, faces
+
+
+def _polygonize_native(volume, isovalue, truncation):
+    """Try the C++ polygonizer (runtime/mc_native.cpp); None -> numpy path.
+
+    Set MNESLAM_NO_NATIVE=1 to force the pure-numpy implementation."""
+    import os as _os
+
+    if _os.environ.get("MNESLAM_NO_NATIVE"):
+        return None
+    try:
+        import sys
+
+        root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from runtime import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    return native.polygonize(volume, isovalue, truncation)
 
 
 def _polygonize_slab(vol, isovalue, truncation):

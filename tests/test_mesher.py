@@ -69,3 +69,23 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(v2, verts, atol=1e-6)
     np.testing.assert_array_equal(f2, faces)
     assert np.max(np.abs(c2 - colors)) < 1 / 255 + 1e-3
+
+
+def test_native_polygonizer_matches_numpy():
+    """C++ runtime path produces the identical vertex set as numpy."""
+    import os
+    from runtime import native
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime not built")
+    vol, ax = sphere_sdf(n=32)
+    os.environ["MNESLAM_NO_NATIVE"] = "1"
+    try:
+        v_py, f_py = mc.marching_cubes(vol, 0.0)
+    finally:
+        del os.environ["MNESLAM_NO_NATIVE"]
+    v_nat, f_nat = mc.marching_cubes(vol, 0.0)
+    assert len(v_py) == len(v_nat) and len(f_py) == len(f_nat)
+    sv_py = np.asarray(sorted(map(tuple, np.round(v_py, 4))))
+    sv_nat = np.asarray(sorted(map(tuple, np.round(v_nat, 4))))
+    np.testing.assert_allclose(sv_py, sv_nat, atol=1e-3)
