@@ -41,20 +41,22 @@ def grid_sample_2d(plane: jax.Array, coords: jax.Array) -> jax.Array:
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
 
-    # gather with flattened spatial index: [C, H*W] -> [N, C] per corner
-    flat = plane.reshape(C, H * W)
-    g00 = flat[:, y0i * W + x0i]
-    g01 = flat[:, y0i * W + x1i]
-    g10 = flat[:, y1i * W + x0i]
-    g11 = flat[:, y1i * W + x1i]
+    # row-layout gather: [H*W, C] rows keep channels in the lane dimension,
+    # which TPU gathers (and the scatter-add in the VJP) handle efficiently;
+    # the [C, HW] lane-dim gather variant measures an order of magnitude
+    # slower on v5e.
+    flat = plane.reshape(C, H * W).T
+    g00 = flat[y0i * W + x0i]
+    g01 = flat[y0i * W + x1i]
+    g10 = flat[y1i * W + x0i]
+    g11 = flat[y1i * W + x1i]
 
-    out = (
-        g00 * ((1 - wx) * (1 - wy))
-        + g01 * (wx * (1 - wy))
-        + g10 * ((1 - wx) * wy)
-        + g11 * (wx * wy)
+    return (
+        g00 * ((1 - wx) * (1 - wy))[:, None]
+        + g01 * (wx * (1 - wy))[:, None]
+        + g10 * ((1 - wx) * wy)[:, None]
+        + g11 * (wx * wy)[:, None]
     )
-    return out.T
 
 
 def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:

@@ -1,0 +1,90 @@
+"""Pallas TPU kernels for the gather-heavy hot ops.
+
+The correlation window lookup (`/root/reference/src/lib/altcorr_kernel.cu`'s
+job) is fundamentally 49 data-dependent reads per pixel — XLA lowers this to
+a serialized gather loop from HBM (~latency-bound). The Pallas kernel keeps
+the target frame's whole feature level resident in VMEM (<= 1.6 MB at
+tracking resolution) and performs the per-pixel window reads as on-chip
+sublane slices, with the edge dimension as the grid and feature/coord blocks
+routed by scalar-prefetched frame indices (ii/jj).
+
+Falls back transparently to the XLA formulation in `correlation.py` when
+Pallas is unavailable (interpret mode covers CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _corr_window_kernel(
+    ii_ref,      # scalar prefetch [E]
+    jj_ref,      # scalar prefetch [E]
+    f1_ref,      # [1, HW, C]    features of frame ii[e] (row layout)
+    f2_ref,      # [1, H2W2p, C] padded features of frame jj[e]
+    xs_ref,      # [1, HW, 1] precomputed padded slab row starts (int32)
+    out_ref,     # [1, HW, NX * NX] integer-offset correlations
+    *,
+    hw: int,
+    nx: int,
+    w2p: int,
+):
+    """Integer-offset correlation: out[p, i*nx+j] = dot(f1[p], f2[slab])."""
+
+    def body(p, _):
+        start = xs_ref[0, p, 0]
+        f1p = f1_ref[0, p, :]                                  # [C]
+        # the nx x nx integer window as nx sublane slices (zero padding in
+        # f2 makes out-of-bounds reads contribute 0, matching the CUDA
+        # sampler's within_bounds semantics)
+        rows = [f2_ref[0, pl.ds(start + j * w2p, nx), :] for j in range(nx)]
+        slab = jnp.concatenate(rows, axis=0)                   # [nx*nx, C] j-major
+        dots = jnp.sum(slab * f1p[None, :], axis=-1)           # [nx*nx] j-major
+        # stored j-major; the host-side bilinear combine accounts for it
+        out_ref[0, p, :] = dots
+        return 0
+
+    jax.lax.fori_loop(0, hw, body, 0)
+
+
+def corr_window_int(
+    f1_rows: jax.Array,   # [N, HW, C]
+    f2_rows_pad: jax.Array,  # [N, H2W2p, C] x/y padded row layout
+    ii: jax.Array,        # [E]
+    jj: jax.Array,        # [E]
+    xs: jax.Array,        # [E, HW] padded slab row starts
+    nx: int,
+    w2p: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [E, HW, nx*nx] integer-offset correlations via Pallas."""
+    E = ii.shape[0]
+    N, HW, C = f1_rows.shape
+    H2W2p = f2_rows_pad.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, HW, C), lambda e, s_ii, s_jj: (s_ii[e], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2W2p, C), lambda e, s_ii, s_jj: (s_jj[e], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, 1), lambda e, s_ii, s_jj: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HW, nx * nx), lambda e, s_ii, s_jj: (e, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_corr_window_kernel, hw=HW, nx=nx, w2p=w2p)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, HW, nx * nx), f1_rows.dtype),
+        interpret=interpret,
+    )(ii, jj, f1_rows, f2_rows_pad, xs[..., None].astype(jnp.int32))
