@@ -89,6 +89,7 @@ class SceneRep:
         self.range_d = float(tr["range_d"])
         self.n_samples_d = int(tr["n_samples_d"])
         self.n_samples = int(tr["n_samples"])
+        self.n_importance = int(tr.get("n_importance", 0))
         self.perturb = float(tr["perturb"]) > 0.0
         self.white_bkgd = bool(tr["white_bkgd"])
         self.truncation_model = float(config["model"]["truncation"])
@@ -205,6 +206,36 @@ class SceneRep:
             rgb_map = rgb_map + (1.0 - acc_map[..., None])
         return rgb_map, disp_map, acc_map, weights, depth_map, depth_var
 
+    def sample_pdf(self, bins: jax.Array, weights: jax.Array, n_importance: int,
+                   key: Optional[jax.Array] = None) -> jax.Array:
+        """Inverse-CDF importance sampling (model/utils.py:65-104).
+
+        bins [R, B], weights [R, B] -> samples [R, n_importance]; stratified
+        when no key given (det=True), uniform-random otherwise.
+        """
+        weights = weights + 1e-5
+        pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B+1]
+
+        R = cdf.shape[0]
+        if key is None:
+            u = jnp.linspace(0.5 / n_importance, 1.0 - 0.5 / n_importance, n_importance)
+            u = jnp.broadcast_to(u, (R, n_importance))
+        else:
+            u = jax.random.uniform(key, (R, n_importance))
+
+        idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+        below = jnp.maximum(idx - 1, 0)
+        above = jnp.minimum(idx, cdf.shape[-1] - 1)
+        cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+        bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+        bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+        denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+        t = (u - cdf_b) / denom
+        return bins_b + t * (bins_a - bins_b)
+
     def sample_z_vals(
         self, target_d: jax.Array, n_rays: int, key: Optional[jax.Array]
     ) -> jax.Array:
@@ -266,7 +297,25 @@ class SceneRep:
             n_rays, z_vals.shape[1], 4
         )
         rgb_map, disp_map, acc_map, weights, depth_map, depth_var = self.raw2outputs(raw, z_vals)
-        return {
+
+        ret = {}
+        if self.n_importance > 0:
+            # hierarchical resampling (scene_rep.py:389-417)
+            ret.update(rgb0=rgb_map, disp0=disp_map, acc0=acc_map,
+                       depth0=depth_map, depth_var0=depth_var)
+            z_mid = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
+            k_imp = None if key is None else jax.random.fold_in(key, 777)
+            z_samples = jax.lax.stop_gradient(
+                self.sample_pdf(z_mid, weights[:, 1:-1], self.n_importance,
+                                key=k_imp if self.perturb else None))
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+            raw = self.query_color_sdf(params, pts.reshape(-1, 3)).reshape(
+                n_rays, z_vals.shape[1], 4)
+            rgb_map, disp_map, acc_map, weights, depth_map, depth_var = \
+                self.raw2outputs(raw, z_vals)
+
+        ret.update({
             "rgb": rgb_map,
             "depth": depth_map,
             "disp_map": disp_map,
@@ -275,7 +324,8 @@ class SceneRep:
             "z_vals": z_vals,
             "raw": raw,
             "weights": weights,
-        }
+        })
+        return ret
 
     # ------------------------------------------------------------------
     # losses
@@ -347,6 +397,10 @@ class SceneRep:
         rgb_loss = jnp.mean(jnp.square(rend["rgb"] - target_rgb))
         psnr = -10.0 * jnp.log(jnp.maximum(rgb_loss, 1e-12)) / jnp.log(10.0)
         depth_loss = jnp.sum(jnp.square(rend["depth"] - t) * valid_depth) / n_valid
+        if "rgb0" in rend:  # coarse-pass losses (scene_rep.py:579-581)
+            rgb_loss = rgb_loss + jnp.mean(jnp.square(rend["rgb0"] - target_rgb))
+            depth_loss = depth_loss + \
+                jnp.sum(jnp.square(rend["depth0"] - t) * valid_depth) / n_valid
 
         sdf = rend["raw"][..., 3]
         z_vals = rend["z_vals"]

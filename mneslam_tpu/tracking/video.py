@@ -145,6 +145,70 @@ def frame_distance(
     return 0.5 * (one_direction(ii, jj) + one_direction(jj, ii))
 
 
+@jax.jit
+def depth_filter(
+    state: VideoState,
+    intrinsics: jax.Array,
+    inds: jax.Array,      # [K] frame indices to filter
+    thresh: jax.Array,    # [K] per-frame depth consistency threshold
+) -> jax.Array:
+    """Multi-view depth support count (droid_kernels.cu depth_filter_kernel).
+
+    For each queried frame, reproject its inverse-depth map into 6 temporal
+    neighbors (ix-3..ix-1, ix+3..ix+5) and count, per pixel, how many
+    neighbors hold a disparity within `thresh` at any of the 4 bilinear
+    corners. Returns counts [K, h, w]; the caller masks pixels with low
+    support (the reference uses this to build disps_filtered/mask_filtered).
+    """
+    B = state.poses.shape[0]
+    ht, wd = state.disps.shape[1:]
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    grid = projective.coords_grid(ht, wd)
+
+    neigh_off = jnp.asarray([-1, -2, -3, 3, 4, 5])
+
+    def one_frame(ix, t):
+        def one_neighbor(off):
+            jx = ix + off
+            valid_j = (jx >= 0) & (jx < B)
+            jxc = jnp.clip(jx, 0, B - 1)
+            Gij = lie.mul(state.poses[jxc], lie.inv(state.poses[ix]))
+            X0 = projective.iproj(state.disps[ix], intrinsics)
+            X1 = lie.act4(Gij[None, None], X0)
+            u = fx * (X1[..., 0] / X1[..., 2]) + cx
+            v = fy * (X1[..., 1] / X1[..., 2]) + cy
+            dj = X1[..., 3] / X1[..., 2]
+
+            u0 = jnp.floor(u).astype(jnp.int32)
+            v0 = jnp.floor(v).astype(jnp.int32)
+            inb = (u0 >= 0) & (v0 >= 0) & (u0 < wd - 1) & (v0 < ht - 1)
+            u0c = jnp.clip(u0, 0, wd - 2)
+            v0c = jnp.clip(v0, 0, ht - 2)
+            dn = state.disps[jxc]
+            support = jnp.zeros((ht, wd), bool)
+            for dv in (0, 1):
+                for du in (0, 1):
+                    dcorner = dn[v0c + dv, u0c + du]
+                    support |= jnp.abs(1.0 / jnp.maximum(dj, 1e-8)
+                                       - 1.0 / jnp.maximum(dcorner, 1e-8)) < t
+            return (support & inb & valid_j).astype(jnp.float32)
+
+        return jnp.sum(jax.vmap(one_neighbor)(neigh_off), axis=0)
+
+    return jax.vmap(one_frame)(inds, thresh)
+
+
+@jax.jit
+def upsample_disps(state: VideoState, inds: jax.Array, upmask: jax.Array) -> jax.Array:
+    """Convex upsampling of 1/8-res disparities to full res
+    (depth_video.py:274-276): disps [k, h, w] + mask [k, 576, h, w] ->
+    [k, 8h, 8w]."""
+    from ..models.droid_net import cvx_upsample
+
+    d = state.disps[inds][..., None]          # [k, h, w, 1]
+    return cvx_upsample(d, upmask)[..., 0]
+
+
 def get_poses_c2w(
     state: VideoState,
     n: int,

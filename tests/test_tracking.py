@@ -203,3 +203,50 @@ def test_frame_distance_properties():
     state2 = state._replace(poses=poses)
     d_far = video_lib.frame_distance(state2, INTR, jnp.asarray([0]), jnp.asarray([2]))
     assert float(d_far[0]) > float(d_same[0]) + 1.0
+
+
+def test_depth_filter_consistency():
+    """Consistent multi-view depths get high support; an outlier frame low."""
+    buffer = 10
+    state = video_lib.init_video(buffer, HT, WD)
+    # all frames identity pose, constant disparity -> perfectly consistent
+    state = state._replace(disps=0.5 * jnp.ones((buffer, HT, WD)))
+    counts = video_lib.depth_filter(
+        state, INTR, jnp.asarray([4]), jnp.asarray([0.05]))
+    assert counts.shape == (1, HT, WD)
+    # 6 neighbors agree everywhere except border pixels (inb excludes the
+    # last row/col, as in the CUDA kernel)
+    assert float(counts.mean()) > 4.5
+    assert float(counts[0, 2:-2, 2:-2].min()) == 6.0
+
+    # corrupt the center frame's disparity -> support collapses
+    state2 = state._replace(disps=state.disps.at[4].set(5.0))
+    counts2 = video_lib.depth_filter(
+        state2, INTR, jnp.asarray([4]), jnp.asarray([0.05]))
+    assert float(counts2.mean()) < 0.5
+
+
+def test_importance_sampling():
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.models.scene_rep import SceneRep
+    cfg = make_config({"training": {"n_importance": 8, "n_range_d": 9,
+                                    "n_samples_d": 8}})
+    scene = SceneRep(cfg)
+    # sample_pdf concentrates samples where weights are big
+    bins = jnp.broadcast_to(jnp.linspace(0, 4, 16), (4, 16))
+    w = jnp.zeros((4, 16)).at[:, 8].set(1.0)  # peak at z=...
+    s = scene.sample_pdf(bins, w, 16)
+    assert s.shape == (4, 16)
+    peak = bins[0, 8]
+    assert float(jnp.mean(jnp.abs(s - peak))) < 0.3
+
+    # render_rays with importance resampling returns coarse + fine outputs
+    params = scene.init_params(jax.random.PRNGKey(0))
+    rays_o = jnp.zeros((8, 3))
+    rays_d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (8, 1))
+    out = scene.render_rays(params, rays_o, rays_d,
+                            target_d=jnp.ones((8, 1)), key=jax.random.PRNGKey(1))
+    assert "rgb0" in out and out["z_vals"].shape[1] == 9 + 8 + 8
+    ret = scene.forward(params, rays_o, rays_d, jnp.zeros((8, 3)),
+                        jnp.ones((8, 1)), key=jax.random.PRNGKey(2))
+    assert np.isfinite(float(ret["rgb_loss"]))
