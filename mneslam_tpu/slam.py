@@ -89,6 +89,10 @@ class MNESLAM:
                 update_fn=update_fn, agg_fn=agg_fn,
             )
 
+        from .utils.metrics import StageTimers
+
+        self.timers = StageTimers(os.path.join(self.out_dir, "metrics.jsonl"))
+
         # mapper progress
         self.map_counter = 0
         self.mapped_timestamps: list[float] = []
@@ -140,6 +144,10 @@ class MNESLAM:
     # ------------------------------------------------------------------
 
     def _map_keyframe(self, frame_idx: int, pose_c2w: jax.Array, first: bool):
+        with self.timers.stage("map_keyframe"):
+            return self._map_keyframe_inner(frame_idx, pose_c2w, first)
+
+    def _map_keyframe_inner(self, frame_idx: int, pose_c2w: jax.Array, first: bool):
         frame, _ = self._frame_for_mapping(frame_idx)
         frame["frame_id"] = frame_idx
         if first:
@@ -157,7 +165,31 @@ class MNESLAM:
             )
         self.mapped_timestamps.append(float(frame_idx))
         self.metrics_log.append({k: float(v) for k, v in metrics.items()})
+        self.timers.log_scalars(frame_idx, self.metrics_log[-1])
+
+        vis_every = int(self.config["mapping"].get("vis", 0))
+        if vis_every > 0 and (len(self.mapped_timestamps) - 1) % vis_every == 0:
+            self._save_vis(frame_idx, pose_c2w)
         return metrics
+
+    def _save_vis(self, frame_idx: int, pose_c2w: jax.Array):
+        """Per-keyframe render/residual panel (mneslam_mp.py:472-560)."""
+        from .data.rays import rays_from_pose
+        from .utils import vis
+
+        item = self.dataset[frame_idx]
+        dirs = jnp.asarray(item["direction"]).reshape(-1, 3)
+        rays_o, rays_d = rays_from_pose(dirs, pose_c2w)
+        depth, rgb = self.scene.render_image_rays(
+            self.map_state.params, rays_o, rays_d,
+            jnp.asarray(item["depth"]).reshape(-1), chunk=4096)
+        H, W = item["depth"].shape
+        vis.save_render_panel(
+            os.path.join(self.out_dir, "eval_vis", f"kf_{frame_idx:05d}.jpg"),
+            np.asarray(item["rgb"]), np.asarray(item["depth"]),
+            np.asarray(rgb).reshape(H, W, 3), np.asarray(depth).reshape(H, W),
+            title=f"agent {self.rank} keyframe {frame_idx}",
+        )
 
     # ------------------------------------------------------------------
 
@@ -186,8 +218,9 @@ class MNESLAM:
             item = self.dataset[idx]
             img_track = self._to_tracking_res(item["rgb"])
             depth_track = self._depth_to_tracking_res(item["depth"])
-            self.tracker.run(float(idx), img_track, depth=depth_track,
-                             gt_pose=jnp.asarray(item["c2w"]))
+            with self.timers.stage("track_frame"):
+                self.tracker.run(float(idx), img_track, depth=depth_track,
+                                 gt_pose=jnp.asarray(item["c2w"]))
 
             # map pending keyframes (stay >= 1 behind tracking —
             # mp_slam/mapper.py:173-176's race guard, now deterministic)

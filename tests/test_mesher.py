@@ -89,3 +89,25 @@ def test_native_polygonizer_matches_numpy():
     sv_py = np.asarray(sorted(map(tuple, np.round(v_py, 4))))
     sv_nat = np.asarray(sorted(map(tuple, np.round(v_nat, 4))))
     np.testing.assert_allclose(sv_py, sv_nat, atol=1e-3)
+
+
+def test_frustum_culling():
+    """Vertices behind the camera or outside every frustum are culled."""
+    import jax.numpy as jnp
+    from mneslam_tpu.mapping.cull import cull_mesh
+
+    # a small quad in front of the camera (z = -2, OpenGL) and one behind
+    verts = np.asarray([
+        [0, 0, -2], [0.2, 0, -2], [0, 0.2, -2],    # visible triangle
+        [0, 0, 3], [0.2, 0, 3], [0, 0.2, 3],       # behind camera
+    ], np.float32)
+    faces = np.asarray([[0, 1, 2], [3, 4, 5]])
+    c2w = np.eye(4, dtype=np.float32)[None]
+    intr = np.asarray([50.0, 50.0, 31.5, 23.5], np.float32)
+    v, f, _ = cull_mesh(verts, faces, c2w, intr, H=48, W=64)
+    assert len(v) == 3 and len(f) == 1
+
+    # occlusion: observed depth 1.0 hides the z=-2 triangle
+    depths = np.ones((1, 48, 64), np.float32)
+    v2, f2, _ = cull_mesh(verts, faces, c2w, intr, H=48, W=64, depths=depths)
+    assert len(f2) == 0
