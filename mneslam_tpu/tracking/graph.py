@@ -71,7 +71,7 @@ def update_step(
             params["update"], net, state.inps[ii], corr, motion
         )
     else:
-        new_net, delta, weight = update_fn(params, ii, jj, net, corr, motion, coords1)
+        new_net, delta, weight = update_fn(params, state, ii, jj, net, corr, motion, coords1)
     if agg_fn is None:
         eta, upmask = droid_net.agg_apply(params["update"]["agg"], new_net, ii, mask, B)
     else:

@@ -92,7 +92,7 @@ def test_trajectory_filler_oracle():
     # this constant-velocity trajectory), so delta drives poses to GT.
     params = droid_net.init_droid_net(jax.random.PRNGKey(1))
 
-    def update_fn(p, ii, jj, net, corr, motion, coords1):
+    def update_fn(p, state, ii, jj, net, corr, motion, coords1):
         # constant-velocity GT: pose(t) known analytically from timestamps
         # stored in the mini state — but update_fn has no state access, so
         # approximate: zero delta (keeps seeds). Seeds are exact for this

@@ -1,0 +1,100 @@
+"""Full-SLAM integration test (BASELINE config #2 in miniature).
+
+Runs MNESLAM.run_slam end-to-end on the synthetic box room with an ORACLE
+update op supplying ground-truth reprojection targets (the learned weights
+aren't available offline): motion filter admission, frontend init/update,
+keyframe management, windowed BA with the RGB-D prior, lagged mapping,
+trajectory filling, and Sim3 APE evaluation all execute for real.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+from mneslam_tpu.ops import lie, projective
+from mneslam_tpu.slam import MNESLAM
+
+FLIP = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def gt_tracker_poses(dataset):
+    """Dataset OpenGL c2w -> tracker-frame w2c 7-vecs (the inverse of
+    video.get_poses_c2w's alignment)."""
+    G0 = dataset[0]["c2w"]
+    table = []
+    for i in range(len(dataset)):
+        Gi = dataset[i]["c2w"]
+        C = FLIP @ np.linalg.inv(G0) @ Gi @ FLIP   # tracker c2w
+        table.append(np.asarray(lie.from_matrix(jnp.asarray(np.linalg.inv(C)))))
+    return jnp.asarray(np.stack(table))
+
+
+def make_oracle(gt_table, intrinsics):
+    def update_fn(params, state, ii, jj, net, corr, motion, coords1):
+        idx = jnp.clip(state.timestamps.astype(jnp.int32), 0, gt_table.shape[0] - 1)
+        gt_poses = gt_table[idx]
+        tgt, valid = projective.projective_transform(
+            gt_poses, state.disps_sens, intrinsics, ii, jj)
+        return net, tgt - coords1, jnp.broadcast_to(valid, tgt.shape)
+
+    def agg_fn(params, net, ii, mask, B):
+        ht, wd = net.shape[2], net.shape[3]
+        return 1e-4 * jnp.ones((net.shape[0], ht, wd)), \
+            jnp.zeros((net.shape[0], 576, ht, wd))
+
+    return update_fn, agg_fn
+
+
+@pytest.mark.slow
+def test_full_slam_oracle(tmp_path):
+    H, W = 64, 96
+    cfg = make_config({
+        "mode": "slam",
+        "data": {"output": str(tmp_path), "exp_name": "slam"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 256, "min_pixels_cur": 48, "first_iters": 60, "iters": 10,
+            "keyframe_every": 4, "global_ba_every": 1000,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+        "meshing": {"resolution": 0.15},
+        "tracking": {
+            "buffer": 40, "warmup": 5, "upsample": False,
+            "motion_filter": {"thresh": -1.0},          # admit every frame
+            "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
+                         "window": 10, "radius": 1, "max_factors": 30,
+                         "nms": 0, "thresh": 25.0},
+            "backend": {"thresh": 25.0, "radius": 1, "nms": 2, "loop_window": 10,
+                        "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 2},
+        },
+        "loop_detection": {"enabled": False},
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=24)
+    gt_table = gt_tracker_poses(ds)
+    intr8 = jnp.asarray([60.0 / 8, 60.0 / 8, 47.5 / 8, 31.5 / 8])
+    update_fn, agg_fn = make_oracle(gt_table, intr8)
+
+    slam = MNESLAM(cfg, ds, rank=0, update_fn=update_fn, agg_fn=agg_fn)
+    results = slam.run_slam()
+
+    assert slam.tracker.counter >= 20
+    assert slam.map_counter >= 10
+    assert "ate" in results, f"no ATE computed: {results}"
+    # oracle targets + RGB-D prior: trajectory should be recovered to cm scale
+    assert results["ate"]["rmse"] < 0.05, results["ate"]
+    for f in ("est_poses.npy", "key_est_poses.npy", "key_timestamps.npy",
+              "metrics_traj.txt"):
+        assert os.path.exists(os.path.join(slam.out_dir, f)), f
+    assert results.get("mesh_verts", 0) > 100
+
+    # mapping quality en route
+    assert slam.metrics_log[-1]["psnr"] > 14.0

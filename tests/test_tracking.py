@@ -128,7 +128,7 @@ def test_cvx_upsample_constant_field():
 # ---------------------------------------------------------------------------
 
 def make_oracle(gt_poses, gt_disps, intrinsics):
-    def update_fn(params, ii, jj, net, corr, motion, coords1):
+    def update_fn(params, state, ii, jj, net, corr, motion, coords1):
         gt_target, valid = projective.projective_transform(
             gt_poses, gt_disps, intrinsics, ii, jj
         )
