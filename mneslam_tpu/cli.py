@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--output", default=None)
     ap.add_argument("--mode", choices=["slam", "mapping"], default=None)
     ap.add_argument("--file_comms", action="store_true")
+    ap.add_argument("--resume", default=None,
+                    help="full-state checkpoint to restore before running")
     args = ap.parse_args(argv)
 
     from .agents.comms import FileComms, InMemoryComms
@@ -49,7 +51,12 @@ def main(argv=None):
         if args.mode:
             cfg["mode"] = args.mode
         dataset = get_dataset(cfg)
-        agents.append(MNESLAM(cfg, dataset, rank=rank, world_size=args.num_agents))
+        agent = MNESLAM(cfg, dataset, rank=rank, world_size=args.num_agents)
+        if args.resume:
+            path = args.resume if args.num_agents == 1 else \
+                f"{args.resume}.agent{rank}"
+            agent.load_full_state(path)
+        agents.append(agent)
 
     if args.file_comms:
         out = os.path.join(agents[0].config["data"]["output"],

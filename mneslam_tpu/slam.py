@@ -308,6 +308,73 @@ class MNESLAM:
 
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # full-state checkpoint / deterministic resume (SURVEY.md §5.4 — the
+    # reference has no resume; the rebuild checkpoints the complete pytree:
+    # map params/optimizer, keyframe DB, tracker video buffer, counters, RNG)
+    # ------------------------------------------------------------------
+
+    def full_state(self) -> Dict:
+        state = {
+            "map_state": self.map_state._asdict() | {"db": self.map_state.db._asdict()},
+            "key": self.key,
+            "host": {
+                "map_counter": self.map_counter,
+                "mapped_timestamps": list(self.mapped_timestamps),
+                "first_frame_mapped": self.first_frame_mapped,
+            },
+        }
+        if self.tracker is not None:
+            state["video"] = self.tracker.state._asdict()
+            state["host"]["tracker_counter"] = self.tracker.counter
+            state["host"]["frontend_t1"] = self.tracker.frontend.t1
+            state["host"]["frontend_initialized"] = self.tracker.frontend.is_initialized
+        return state
+
+    def save_full_state(self, path: str):
+        """Atomic single-file full-state checkpoint (flattened pytree)."""
+        tree = self.full_state()
+        tree["host"]["mapped_timestamps"] = np.asarray(
+            tree["host"]["mapped_timestamps"], np.float64)
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        arrays = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat}
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+
+    def load_full_state(self, path: str):
+        """Restore into the live structure (types preserved via template)."""
+        data = np.load(path, allow_pickle=False)
+        template = self.full_state()
+        template["host"]["mapped_timestamps"] = np.asarray(
+            template["host"]["mapped_timestamps"], np.float64)
+        # pad/truncate template list-shaped leaves to saved shapes via rebuild
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        new_leaves = [jnp.asarray(data[jax.tree_util.keystr(p)]) for p, _ in leaves]
+        restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+        from .mapping.keyframe import KeyframeDB
+        from .mapping.mapper import MapperState
+
+        ms = restored["map_state"]
+        self.map_state = MapperState(
+            params=ms["params"], opt_state=ms["opt_state"],
+            db=KeyframeDB(**ms["db"]), kf_poses=ms["kf_poses"],
+        )
+        self.key = restored["key"]
+        host = restored["host"]
+        self.map_counter = int(host["map_counter"])
+        self.mapped_timestamps = [float(t) for t in np.asarray(host["mapped_timestamps"])]
+        self.first_frame_mapped = bool(host["first_frame_mapped"])
+        if self.tracker is not None and "video" in restored:
+            from .tracking.video import VideoState
+
+            self.tracker.state = VideoState(**restored["video"])
+            self.tracker.counter = int(host["tracker_counter"])
+            self.tracker.frontend.t1 = int(host["frontend_t1"])
+            self.tracker.frontend.is_initialized = bool(host["frontend_initialized"])
+
     def save_checkpoint(self, path: str):
         """Flat-npz checkpoint of the map params + keyframe poses (the
         reference's final_checkpoint.pt contract, mneslam_mp.py:317-340)."""

@@ -115,3 +115,34 @@ def test_trajectory_filler_oracle():
     for t in all_t:
         err = float(jnp.linalg.norm(lie.log(lie.mul(filled[int(t)], lie.inv(gt_pose(t))))))
         assert err < 5e-2, f"frame {t}: pose error {err}"
+
+
+def test_full_state_checkpoint_resume(tmp_path):
+    """Interrupt a mapping run, restore into a fresh agent, continue — the
+    continuation must match an uninterrupted run exactly (deterministic
+    resume, SURVEY §5.4)."""
+    cfg = tiny_config(tmp_path)
+    ds = SyntheticBoxDataset(cfg, num_frames=9)
+
+    # uninterrupted reference run
+    a = MNESLAM(cfg, ds, rank=0)
+    a.run_mapping_only(log_every=100)
+
+    # interrupted run: map first 2 keyframes, checkpoint, resume in new agent
+    b = MNESLAM(cfg, ds, rank=0)
+    for idx in [0, 3]:
+        _, pose = b._frame_for_mapping(idx)
+        b._map_keyframe(idx, pose, first=not b.first_frame_mapped)
+    ck = os.path.join(str(tmp_path), "full_state")
+    b.save_full_state(ck)
+
+    c = MNESLAM(cfg, ds, rank=0)
+    c.load_full_state(ck)
+    assert c.mapped_timestamps == b.mapped_timestamps
+    _, pose = c._frame_for_mapping(6)
+    c._map_keyframe(6, pose, first=False)
+
+    pa = jax.tree.leaves(a.map_state.params)
+    pc = jax.tree.leaves(c.map_state.params)
+    for x, y in zip(pa, pc):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
