@@ -94,6 +94,12 @@ class SceneRep:
         self.white_bkgd = bool(tr["white_bkgd"])
         self.truncation_model = float(config["model"]["truncation"])
         self.depth_trunc = float(config["cam"]["depth_trunc"])
+        # mixed precision: run plane features + decoders in bf16 (params and
+        # losses stay fp32) — halves the render path's bandwidth on TPU
+        self.compute_dtype = (
+            jnp.bfloat16 if str(tr.get("render_dtype", "float32")) == "bfloat16"
+            else jnp.float32
+        )
 
     # ------------------------------------------------------------------
     # params
@@ -148,13 +154,17 @@ class SceneRep:
 
     def query_color_sdf(self, params: Dict, pts: jax.Array) -> jax.Array:
         """World points [N, 3] -> raw [N, 4] (rgb logits, sdf)."""
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
+            pts = pts.astype(self.compute_dtype)
         p_nor = self._normalize(pts)
         embed = self.plane_features(params["planes"], p_nor)
-        embed_pos = self.pos_encode(self._normalize01(pts))
+        embed_pos = self.pos_encode(self._normalize01(pts)).astype(embed.dtype)
         embed_color = None
         if not self.one_grid:
             embed_color = self.plane_features(params["c_planes"], p_nor)
-        return decoder_lib.decoder_apply(params["decoder"], embed, embed_pos, embed_color)
+        raw = decoder_lib.decoder_apply(params["decoder"], embed, embed_pos, embed_color)
+        return raw.astype(jnp.float32)
 
     def query_sdf(self, params: Dict, pts: jax.Array) -> jax.Array:
         """World points [..., 3] -> sdf [...]."""
