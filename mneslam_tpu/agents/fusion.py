@@ -18,7 +18,7 @@ Rebuild of `/root/reference/mp_slam/mapper.py:316-726`:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ ratio as the percentage of GT samples within `dist_th` (5 cm).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -9,7 +9,7 @@ makes the weight converter a pure rename.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

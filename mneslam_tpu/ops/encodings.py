@@ -26,13 +26,15 @@ def one_blob_encode(x: jax.Array, n_bins: int = 16) -> jax.Array:
 
     x [..., D] -> [..., D * n_bins]
     """
-    # bin centers at (i + 0.5) / n_bins
+    # Flat-layout formulation: build [..., D*n_bins] directly (the 3D
+    # [..., D, n_bins] intermediate forces padded-lane relayouts on TPU).
+    D = x.shape[-1]
     centers = (jnp.arange(n_bins, dtype=x.dtype) + 0.5) / n_bins
-    sigma = 1.0 / n_bins
-    t = (x[..., None] - centers) / sigma  # [..., D, n_bins]
+    centers_flat = jnp.tile(centers, D)                      # [D*n_bins]
+    x_rep = jnp.repeat(x, n_bins, axis=-1)                   # [..., D*n_bins]
+    t = (x_rep - centers_flat) * n_bins
     # tinycudann's "quartic" kernel: 15/16 (1 - t^2)^2 on |t| < 1, else 0
-    k = jnp.where(jnp.abs(t) < 1.0, (15.0 / 16.0) * (1.0 - t * t) ** 2, 0.0)
-    return k.reshape(*x.shape[:-1], x.shape[-1] * n_bins)
+    return jnp.where(jnp.abs(t) < 1.0, (15.0 / 16.0) * (1.0 - t * t) ** 2, 0.0)
 
 
 def frequency_encode(x: jax.Array, n_frequencies: int = 12) -> jax.Array:

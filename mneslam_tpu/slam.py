@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import make_config
-from .data.rays import get_camera_rays
 from .eval import ate as ate_lib
 from .mapping.mapper import Mapper
 from .mapping.mesher import extract_mesh

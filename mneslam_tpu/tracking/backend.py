@@ -13,7 +13,7 @@ upgrade (SURVEY.md §7.3 "DBA on TPU").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ loop-BA over the whole history.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,7 +8,7 @@ counter (the reference's `DepthVideo.counter` mp.Value).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
