@@ -276,13 +276,9 @@ class MultiAgentRunner:
                 if idx >= len(a.dataset) or idx % int(a.config["mapping"]["keyframe_every"]) != 0:
                     continue
                 frame, pose = a._frame_for_mapping(idx)
+                # _map_keyframe fires a.collab.on_keyframe_mapped (publish +
+                # loop detection + closure) via the agent's collab hook
                 a._map_keyframe(idx, pose, first=not a.first_frame_mapped)
-                kf_ts = np.asarray(a.mapped_timestamps, float)
-                kf_poses = np.stack([
-                    np.asarray(a.map_state.kf_poses[i]) for i in range(len(kf_ts))
-                ])
-                a.collab.on_keyframe_mapped(
-                    idx, a.dataset[idx]["rgb"], np.asarray(pose), kf_poses, kf_ts)
         # final fusion pass (mapper.py final_run:260-264)
         for a in self.agents:
             a.collab.bound_based_fusion()

@@ -98,6 +98,7 @@ class MNESLAM:
         self.first_frame_mapped = False
         self.global_ba_every = int(config["mapping"].get("global_ba_every", 10))
         self.metrics_log: list[Dict] = []
+        self.collab = None  # set by MultiAgentRunner / AgentCollaboration
 
     # ------------------------------------------------------------------
 
@@ -169,6 +170,16 @@ class MNESLAM:
         vis_every = int(self.config["mapping"].get("vis", 0))
         if vis_every > 0 and (len(self.mapped_timestamps) - 1) % vis_every == 0:
             self._save_vis(frame_idx, pose_c2w)
+
+        # multi-agent hooks: publish + loop detection + loop closure
+        # (mp_slam/mapper.py:224-229)
+        if self.collab is not None:
+            kf_ts = np.asarray(self.mapped_timestamps, float)
+            kf_poses = np.asarray(self.map_state.kf_poses[: len(kf_ts)])
+            self.collab.on_keyframe_mapped(
+                frame_idx, self.dataset[frame_idx]["rgb"],
+                np.asarray(pose_c2w), kf_poses, kf_ts,
+            )
         return metrics
 
     def _save_vis(self, frame_idx: int, pose_c2w: jax.Array):

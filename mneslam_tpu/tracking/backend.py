@@ -41,6 +41,10 @@ class Backend:
         self.update_fn = update_fn
         self.agg_fn = agg_fn
 
+    # beyond this many frames, the windowed dense-E solver's memory blows up
+    # (N*N*6*HW floats) — switch to the full-history sparse-Schur path
+    SPARSE_BA_THRESHOLD = 64
+
     def _make_graph(self, max_factors: int, window: int) -> FactorGraph:
         window_cap = int(2 ** np.ceil(np.log2(max(window + 8, 16))))
         window_cap = min(window_cap, self.buffer)
@@ -53,6 +57,7 @@ class Backend:
             max_factors=max_factors,
             update_fn=self.update_fn,
             agg_fn=self.agg_fn,
+            sparse_ba=window > self.SPARSE_BA_THRESHOLD,
         )
 
     def _propose_edges(

@@ -47,6 +47,7 @@ def update_step(
     ep: float = 0.1,
     update_fn=None,
     agg_fn=None,
+    pairs=None,
 ):
     """One tracker update (factor_graph.py:224-277): reproject -> correlate
     -> ConvGRU -> new targets/weights/damping -> windowed dense BA.
@@ -92,11 +93,19 @@ def update_step(
     ba_target = jnp.concatenate([new_target, target_inac])
     ba_weight = jnp.concatenate([weight, weight_inac])
 
-    state = video_lib.windowed_ba(
-        state, intrinsics, ba_target, ba_weight, ba_ii, ba_jj, ba_mask,
-        t0=t0, t1=t1, window=window, iters=iters, lm=lm, ep=ep,
-        motion_only=motion_only,
-    )
+    if pairs is not None:
+        # full-history path: sparse Schur assembly over the whole buffer
+        state = video_lib.full_ba(
+            state, intrinsics, ba_target, ba_weight, ba_ii, ba_jj, ba_mask,
+            pairs, t0=t0, t1=t1, iters=iters, lm=lm, ep=ep,
+            motion_only=motion_only,
+        )
+    else:
+        state = video_lib.windowed_ba(
+            state, intrinsics, ba_target, ba_weight, ba_ii, ba_jj, ba_mask,
+            t0=t0, t1=t1, window=window, iters=iters, lm=lm, ep=ep,
+            motion_only=motion_only,
+        )
     return state, new_net, new_target, weight, upmask
 
 
@@ -116,9 +125,13 @@ class FactorGraph:
         inac_capacity: Optional[int] = None,
         update_fn=None,
         agg_fn=None,
+        sparse_ba: bool = False,
     ):
         self.update_fn = update_fn
         self.agg_fn = agg_fn
+        # full-history BA via sparse Schur assembly instead of the windowed
+        # dense-E solver (used when the optimization spans the whole buffer)
+        self.sparse_ba = sparse_ba
         self.buffer = buffer
         self.ht, self.wd = ht, wd
         self.capacity = capacity
@@ -312,6 +325,17 @@ class FactorGraph:
             m_i = jnp.zeros(self.cap_inac, jnp.float32)
             tgt_i, w_i = self.target_inac, self.weight_inac
 
+        pairs = None
+        if self.sparse_ba:
+            from ..ops import ba_sparse
+
+            comb_ii = np.concatenate([np.asarray(ii), np.asarray(ii_i)])
+            comb_jj = np.concatenate([np.asarray(jj), np.asarray(jj_i)])
+            comb_m = np.concatenate([np.asarray(mask), np.asarray(m_i)]) > 0
+            raw = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m)
+            cap = 1 << max(int(np.ceil(np.log2(max(raw.n_pairs, 1)))), 6)
+            pairs = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m, capacity=cap)
+
         state, self.net, self.target, self.weight, self._upmask = update_step(
             state, self.params, self.intrinsics,
             ii, jj, mask, self.net, self.target,
@@ -319,6 +343,7 @@ class FactorGraph:
             jnp.asarray(t0), jnp.asarray(t1),
             window=self.window, iters=iters, motion_only=motion_only,
             lm=lm, ep=ep, update_fn=self.update_fn, agg_fn=self.agg_fn,
+            pairs=pairs,
         )
         self.age += 1
         return state

@@ -145,6 +145,43 @@ def frame_distance(
     return 0.5 * (one_direction(ii, jj) + one_direction(jj, ii))
 
 
+@partial(jax.jit, static_argnames=("iters", "motion_only"))
+def full_ba(
+    state: VideoState,
+    intrinsics: jax.Array,
+    target: jax.Array,
+    weight: jax.Array,
+    ii: jax.Array,
+    jj: jax.Array,
+    mask: jax.Array,
+    pairs,
+    t0: jax.Array,
+    t1: jax.Array,
+    iters: int = 2,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    motion_only: bool = False,
+    eps_damping: float = 1e-7,
+) -> VideoState:
+    """Full-buffer dense BA via sparse Schur assembly (`ops/ba_sparse`) —
+    used when the optimization window spans more history than the dense-E
+    formulation can hold (global/loop BA over hundreds of keyframes)."""
+    from ..ops import ba_sparse
+
+    problem = ba_lib.BAProblem(
+        target=target, weight=weight,
+        eta=0.2 * state.damping + eps_damping,
+        ii=ii, jj=jj, mask=mask,
+    )
+    new_poses, new_disps = ba_sparse.bundle_adjust_sparse(
+        state.poses, state.disps, intrinsics, problem, pairs,
+        disps_sens=state.disps_sens,
+        t0=t0, t1=t1, iters=iters, lm=lm, ep=ep, motion_only=motion_only,
+    )
+    new_disps = jnp.maximum(new_disps, 0.001)
+    return state._replace(poses=new_poses, disps=new_disps)
+
+
 @jax.jit
 def depth_filter(
     state: VideoState,

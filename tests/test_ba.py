@@ -118,3 +118,43 @@ def test_ba_depth_sensor_prior():
     )
     d_err = float(jnp.mean(jnp.abs(disps - gt_disps)))
     assert d_err < 0.005, f"depth error with sensor prior: {d_err}"
+
+
+def test_sparse_schur_matches_dense():
+    """Full-history sparse-Schur BA == dense-E BA on the same problem."""
+    from mneslam_tpu.ops import ba_sparse
+
+    gt_poses, gt_disps, init_poses, init_disps, problem = make_problem(jax.random.PRNGKey(5))
+    pairs = ba_sparse.build_pairs(np.asarray(problem.ii), np.asarray(problem.jj),
+                                  np.asarray(problem.mask) > 0)
+
+    p_d, d_d = ba.bundle_adjust(init_poses, init_disps, INTR, problem,
+                                t0=1, iters=3, ep=1e-3, lm=1e-5)
+    p_s, d_s = ba_sparse.bundle_adjust_sparse(init_poses, init_disps, INTR, problem,
+                                              pairs, t0=1, iters=3, ep=1e-3, lm=1e-5,
+                                              pair_chunk=64)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d), atol=2e-3)
+
+
+def test_sparse_schur_with_padding_and_sensor():
+    from mneslam_tpu.ops import ba_sparse
+
+    gt_poses, gt_disps, init_poses, init_disps, problem = make_problem(jax.random.PRNGKey(6))
+    pad = 3
+    problem_p = ba.BAProblem(
+        target=jnp.concatenate([problem.target, jnp.ones((pad, HT, WD, 2))]),
+        weight=jnp.concatenate([problem.weight, jnp.ones((pad, HT, WD, 2))]),
+        eta=problem.eta,
+        ii=jnp.concatenate([problem.ii, jnp.zeros(pad, jnp.int32)]),
+        jj=jnp.concatenate([problem.jj, jnp.ones(pad, jnp.int32)]),
+        mask=jnp.concatenate([problem.mask, jnp.zeros(pad)]),
+    )
+    pairs = ba_sparse.build_pairs(np.asarray(problem_p.ii), np.asarray(problem_p.jj),
+                                  np.asarray(problem_p.mask) > 0, capacity=2048)
+    p_d, d_d = ba.bundle_adjust(init_poses, init_disps, INTR, problem,
+                                disps_sens=gt_disps, t0=1, iters=2)
+    p_s, d_s = ba_sparse.bundle_adjust_sparse(init_poses, init_disps, INTR, problem_p,
+                                              pairs, disps_sens=gt_disps, t0=1, iters=2)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d), atol=2e-3)

@@ -250,3 +250,37 @@ def test_importance_sampling():
     ret = scene.forward(params, rays_o, rays_d, jnp.zeros((8, 3)),
                         jnp.ones((8, 1)), key=jax.random.PRNGKey(2))
     assert np.isfinite(float(ret["rgb_loss"]))
+
+
+def test_graph_sparse_ba_matches_dense_path():
+    """Same oracle problem through the sparse-Schur full-history BA path."""
+    key = jax.random.PRNGKey(0)
+    n, buffer = 6, 8
+    phi = 0.02 * jax.random.normal(key, (n, 3))
+    t = jnp.cumsum(0.06 * jax.random.normal(jax.random.fold_in(key, 1), (n, 3)), axis=0)
+    gt_poses_n = jnp.concatenate([t, lie.so3_exp(phi)], -1).at[0].set(lie.identity())
+    gt_poses = jnp.concatenate([gt_poses_n, lie.identity((buffer - n,))])
+    gt_disps = jnp.broadcast_to(
+        0.4 + 0.2 * jax.random.uniform(jax.random.fold_in(key, 2), (1, HT, WD)),
+        (buffer, HT, WD))
+
+    dxi = 0.05 * jax.random.normal(jax.random.fold_in(key, 3), (buffer, 6)).at[0].set(0.0)
+    init_poses = lie.retr(gt_poses, dxi)
+    update_fn, agg_fn = make_oracle(gt_poses, gt_disps, INTR)
+
+    results = {}
+    for sparse in (False, True):
+        state = video_lib.init_video(buffer, HT, WD)
+        state = state._replace(disps=gt_disps, disps_sens=gt_disps, poses=init_poses)
+        graph = FactorGraph(buffer, HT, WD, capacity=40, params={}, intrinsics=INTR,
+                            window=8, update_fn=update_fn, agg_fn=agg_fn,
+                            sparse_ba=sparse)
+        graph.add_neighborhood_factors(state, 0, n, r=2)
+        for _ in range(4):
+            state = graph.update(state, t0=1, t1=n, iters=2, ep=1e-3, lm=1e-5)
+        results[sparse] = np.asarray(state.poses[:n])
+
+    err = float(jnp.max(jnp.linalg.norm(
+        lie.log(lie.mul(jnp.asarray(results[True]), lie.inv(gt_poses[:n]))), axis=-1)))
+    assert err < 5e-3, f"sparse path did not converge: {err}"
+    np.testing.assert_allclose(results[True], results[False], atol=1e-4)
