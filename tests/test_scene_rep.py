@@ -129,3 +129,41 @@ def test_smoothness_loss():
     s = scene.smoothness(params, jax.random.PRNGKey(1), sample_points=8,
                          voxel_size=0.1, margin=0.05)
     assert np.isfinite(float(s)) and float(s) >= 0.0
+
+
+def test_hash_grid_encoding():
+    """Hash grid: shape, continuity, trainability."""
+    from mneslam_tpu.ops import hashgrid
+
+    params, res = hashgrid.init_hash_grid(
+        jax.random.PRNGKey(0), n_levels=4, n_features_per_level=2,
+        log2_hashmap_size=10, base_resolution=4, desired_resolution=32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hashgrid.hash_grid_encode(params, x, res)
+    assert out.shape == (64, 8)
+
+    # continuity: nearby points give nearby features
+    eps = 1e-4
+    out2 = hashgrid.hash_grid_encode(params, x + eps, res)
+    assert float(jnp.max(jnp.abs(out2 - out))) < 0.05
+
+    # trainable: fit a simple function of position
+    import optax
+    target_fn = lambda p: jnp.sin(4 * p[:, :1])
+    w = jnp.zeros((8, 1))
+    opt = optax.adam(1e-2)
+    state = opt.init((params, w))
+
+    def loss_fn(pw):
+        pr, wr = pw
+        f = hashgrid.hash_grid_encode(pr, x, res)
+        return jnp.mean(jnp.square(f @ wr - target_fn(x)))
+
+    pw = (params, w)
+    l0 = float(loss_fn(pw))
+    for _ in range(200):
+        g = jax.grad(loss_fn)(pw)
+        up, state = opt.update(g, state)
+        pw = optax.apply_updates(pw, up)
+    l1 = float(loss_fn(pw))
+    assert l1 < 0.1 * l0, f"hash grid did not fit: {l0} -> {l1}"

@@ -98,3 +98,47 @@ def test_full_slam_oracle(tmp_path):
 
     # mapping quality en route
     assert slam.metrics_log[-1]["psnr"] > 14.0
+
+
+@pytest.mark.slow
+def test_full_slam_with_culling_and_loop_ba(tmp_path):
+    """Variant exercising keyframe redundancy culling and the loop-BA path
+    (the paths disabled in the base test)."""
+    H, W = 64, 96
+    cfg = make_config({
+        "mode": "slam",
+        "data": {"output": str(tmp_path), "exp_name": "slam2"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 192, "min_pixels_cur": 48, "first_iters": 40, "iters": 6,
+            "keyframe_every": 4, "global_ba_every": 1000,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+        "meshing": {"resolution": 0.2},
+        "tracking": {
+            "buffer": 40, "warmup": 5, "upsample": False,
+            "motion_filter": {"thresh": -1.0},
+            "frontend": {"enable_loop": True, "keyframe_thresh": 1.2,
+                         "window": 8, "radius": 1, "max_factors": 30,
+                         "nms": 0, "thresh": 25.0},
+            "backend": {"thresh": 25.0, "radius": 1, "nms": 1, "loop_window": 8,
+                        "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 1},
+        },
+        "loop_detection": {"enabled": False},
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=24)
+    gt_table = gt_tracker_poses(ds)
+    intr8 = jnp.asarray([60.0 / 8, 60.0 / 8, 47.5 / 8, 31.5 / 8])
+    update_fn, agg_fn = make_oracle(gt_table, intr8)
+
+    slam = MNESLAM(cfg, ds, rank=0, update_fn=update_fn, agg_fn=agg_fn)
+    results = slam.run_slam()
+
+    # loop BA ran at least once
+    assert slam.tracker.frontend.last_loop_t > 0, "loop BA never triggered"
+    assert "ate" in results
+    assert results["ate"]["rmse"] < 0.08, results["ate"]
