@@ -143,6 +143,12 @@ class SceneRep:
 
         Per level: bilinear(xy) + bilinear(xz) + bilinear(yz), levels
         concatenated — ESLAM's summation scheme (scene_rep.py:28-53).
+
+        TPU note: the 24 separate per-corner row gathers ARE the measured
+        optimum on v5e (~18 ns/row). Tried and rejected: one fused gather
+        over a concatenated table (6x slower — XLA gather cost scales per
+        index and the monolith loses inter-op overlap), [2,2,C] slab
+        dynamic_slice per point (60x slower), bf16 tables (no gain).
         """
         feats = []
         for lvl in range(len(planes["xy"])):

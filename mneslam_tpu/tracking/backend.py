@@ -152,11 +152,16 @@ class Backend:
 
     def loop_ba(self, state, counter: int, t_start: int, t_end: int, steps: int = 6,
                 motion_only: bool = False, local_graph: Optional[FactorGraph] = None):
-        """Windowed loop BA (backend.py:143-164)."""
+        """Windowed loop BA (backend.py:143-164).
+
+        Pose updates stay inside [t_start_loop, t_end), but loop edges may
+        anchor at arbitrarily old frames — the BA graph therefore spans
+        [t_start, t_end) so those anchors participate in the solve (the
+        sparse-Schur path activates automatically on long spans)."""
         max_factors = 8 * self.loop_window
         t_start_loop = max(0, t_end - self.loop_window)
 
-        graph = self._make_graph(max_factors, window=self.loop_window)
+        graph = self._make_graph(max_factors, window=t_end - t_start)
         if local_graph is not None:
             self._copy_graph(graph, local_graph)
 
