@@ -325,3 +325,105 @@ def interp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
     if tt.ndim < d.ndim:
         tt = tt[..., None]
     return mul(exp(tt * d), a)
+
+
+# ---------------------------------------------------------------------------
+# Sim(3): [..., 8] = [t(3), q(4), s(1)] — lietorch Sim3 parity
+# (`tracker/geom/projective_ops.py:73-80` supports Sim3 rigs; runtime uses
+# SE(3) only). Tangent layout [tau(3), phi(3), sigma(1)].
+# ---------------------------------------------------------------------------
+
+def sim3_identity(shape=(), dtype=jnp.float32) -> jax.Array:
+    e = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1], dtype=dtype)
+    return jnp.broadcast_to(e, tuple(shape) + (8,))
+
+
+def sim3_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a*b)(x) = a(b(x)) with x -> s R x + t."""
+    t = a[..., :3] + a[..., 7:8] * quat_rotate(a[..., 3:7], b[..., :3])
+    q = quat_mul(a[..., 3:7], b[..., 3:7])
+    s = a[..., 7:8] * b[..., 7:8]
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+def sim3_inv(a: jax.Array) -> jax.Array:
+    qc = quat_conj(a[..., 3:7])
+    s_inv = 1.0 / a[..., 7:8]
+    t = -s_inv * quat_rotate(qc, a[..., :3])
+    return jnp.concatenate([t, qc, s_inv], axis=-1)
+
+
+def sim3_act(a: jax.Array, p: jax.Array) -> jax.Array:
+    return a[..., 7:8] * quat_rotate(a[..., 3:7], p) + a[..., :3]
+
+
+def sim3_act4(a: jax.Array, p: jax.Array) -> jax.Array:
+    """Homogeneous-depth action: (s R p + d t, d)."""
+    xyz = a[..., 7:8] * quat_rotate(a[..., 3:7], p[..., :3]) + p[..., 3:4] * a[..., :3]
+    return jnp.concatenate([xyz, p[..., 3:4]], axis=-1)
+
+
+def sim3_exp(xi: jax.Array) -> jax.Array:
+    """sim(3) [..., 7] = [tau, phi, sigma] -> Sim(3) [..., 8].
+
+    W-matrix (generalized left Jacobian with scale) evaluated with Taylor
+    guards; see Strasdat's Sim3 parametrization.
+    """
+    tau, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    q = so3_exp(phi)
+    s = jnp.exp(sigma)
+
+    theta_sq = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
+    Phi = _skew(phi)
+    I = jnp.eye(3, dtype=xi.dtype)
+
+    # W = A I + B Phi + C Phi^2 (coefficients depend on sigma and theta)
+    sig = sigma
+    small_sig = jnp.abs(sig) < 1e-6
+    sig_safe = jnp.where(small_sig, jnp.ones_like(sig), sig)
+    A_s = jnp.where(small_sig, 1.0 + sig / 2.0, (s - 1.0) / sig_safe)
+
+    small_th = theta_sq < 1e-8
+    th_safe = jnp.where(small_th, jnp.ones_like(theta), theta)
+    denom = sig * sig + theta_sq
+    denom = jnp.where(denom < 1e-12, jnp.ones_like(denom), denom)
+
+    a_coef = s * jnp.sin(theta)
+    b_coef = s * jnp.cos(theta)
+    # B = (a_coef*sig + (1 - b_coef)*theta) / (theta * denom), guarded
+    B = jnp.where(
+        small_th,
+        jnp.where(small_sig, 0.5 + sig / 3.0, ((sig - 1.0) * s + 1.0) / jnp.square(sig_safe))
+        * jnp.ones_like(theta),
+        (a_coef * sig + (1.0 - b_coef) * theta) / (th_safe * denom),
+    )
+    # C = (A_s - ((b_coef - 1)*sig + a_coef*theta)/denom) / theta_sq, guarded
+    C_num = A_s - ((b_coef - 1.0) * sig + a_coef * theta) / denom
+    C = jnp.where(
+        small_th,
+        (1.0 / 6.0) * jnp.ones_like(theta),
+        C_num / jnp.where(small_th, jnp.ones_like(theta_sq), theta_sq),
+    )
+
+    W = (A_s[..., None, None] * I + B[..., None, None] * Phi
+         + C[..., None, None] * (Phi @ Phi))
+    t = jnp.einsum("...ij,...j->...i", W, tau)
+    return jnp.concatenate([t, q, s[..., None]], axis=-1)
+
+
+def sim3_log(a: jax.Array) -> jax.Array:
+    """Sim(3) -> sim(3) via Newton-free closed form (W inverse by solve)."""
+    phi = so3_log(a[..., 3:7])
+    sigma = jnp.log(a[..., 7])
+    # rebuild W from (phi, sigma) and solve W tau = t
+    xi0 = jnp.concatenate([jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1)
+    # W from sim3_exp internals: recompute by calling exp on [e_k, phi, sigma]
+    # columns — cheap (3 solves) and robust
+    basis = jnp.eye(3, dtype=a.dtype)
+    cols = [sim3_exp(jnp.concatenate([
+        jnp.broadcast_to(basis[k], phi.shape), phi, sigma[..., None]], axis=-1))[..., :3]
+        for k in range(3)]
+    W = jnp.stack(cols, axis=-1)
+    tau = jnp.linalg.solve(W, a[..., :3, None])[..., 0]
+    return jnp.concatenate([tau, phi, sigma[..., None]], axis=-1)

@@ -160,3 +160,39 @@ def test_matrix_quat_branch_coverage():
     R = jnp.stack(Rs)
     q = lie.matrix_to_quat(R)
     np.testing.assert_allclose(lie.quat_to_matrix(q), R, atol=1e-4)
+
+
+def test_sim3_group_axioms():
+    key = jax.random.PRNGKey(20)
+    def rand_sim3(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        t = jax.random.normal(k1, (n, 3))
+        q = lie.so3_exp(0.5 * jax.random.normal(k2, (n, 3)))
+        s = jnp.exp(0.3 * jax.random.normal(k3, (n, 1)))
+        return jnp.concatenate([t, q, s], -1)
+    a = rand_sim3(key, 6)
+    b = rand_sim3(jax.random.fold_in(key, 1), 6)
+    eye = lie.sim3_identity((6,))
+    np.testing.assert_allclose(lie.sim3_mul(a, lie.sim3_inv(a)), eye, atol=1e-4)
+    p = jax.random.normal(jax.random.fold_in(key, 2), (6, 3))
+    np.testing.assert_allclose(
+        lie.sim3_act(lie.sim3_mul(a, b), p), lie.sim3_act(a, lie.sim3_act(b, p)),
+        atol=1e-4)
+    # act4 homogeneous consistency
+    p4 = jax.random.normal(jax.random.fold_in(key, 3), (6, 4))
+    p4 = p4.at[:, 3].set(jnp.abs(p4[:, 3]) + 0.5)
+    out = lie.sim3_act4(a, p4)
+    real = lie.sim3_act(a, p4[:, :3] / p4[:, 3:4])
+    np.testing.assert_allclose(out[:, :3] / out[:, 3:4], real, atol=1e-4)
+
+
+def test_sim3_exp_log_roundtrip():
+    key = jax.random.PRNGKey(21)
+    xi = 0.4 * jax.random.normal(key, (16, 7))
+    np.testing.assert_allclose(lie.sim3_log(lie.sim3_exp(xi)), xi, atol=1e-3)
+    # sigma = 0 reduces to SE(3)
+    xi_se3 = xi.at[:, 6].set(0.0)
+    g = lie.sim3_exp(xi_se3)
+    np.testing.assert_allclose(np.asarray(g[:, 7]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[:, :7]),
+                               np.asarray(lie.exp(xi_se3[:, :6])), atol=1e-4)
