@@ -137,6 +137,67 @@ def _corr_edge(
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret"))
+def alt_corr_pallas_ml(
+    fmaps: jax.Array,
+    ii: jax.Array,
+    jj: jax.Array,
+    coords: jax.Array,
+    radius: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-kernel (all 4 pyramid levels fused) Pallas correlation."""
+    from . import pallas_kernels
+
+    pyr = build_pyramid(fmaps)
+    N, C, H, W = pyr[0].shape
+    HW = H * W
+    E = ii.shape[0]
+    rd = 2 * radius + 1
+    nx = rd + 1
+    padl = 2 * radius + 1
+
+    f1_rows = pyr[0].transpose(0, 2, 3, 1).reshape(N, HW, C)
+    cflat = coords.reshape(E, HW, 2)
+
+    f2_levels, w2ps, xs_levels, fracs = [], [], [], []
+    for lvl, f2 in enumerate(pyr):
+        H2, W2 = f2.shape[2], f2.shape[3]
+        w2p = W2 + padl + nx
+        f2_img = f2.transpose(0, 2, 3, 1)
+        f2_pad = jnp.pad(f2_img, ((0, 0), (padl, nx), (padl, nx), (0, 0)))
+        f2_levels.append(f2_pad.reshape(N, -1, C))
+        w2ps.append(w2p)
+
+        c = cflat / (2 ** lvl)
+        x0 = jnp.floor(c[..., 0])
+        y0 = jnp.floor(c[..., 1])
+        fracs.append((c[..., 0] - x0, c[..., 1] - y0))
+        x0c = jnp.clip(x0.astype(jnp.int32), -(radius + 1), W2 + radius)
+        y0c = jnp.clip(y0.astype(jnp.int32), -(radius + 1), H2 + radius)
+        xs_levels.append((y0c - radius + padl) * w2p + (x0c - radius + padl))
+
+    xs = jnp.stack(xs_levels, axis=-1)                       # [E, HW, 4]
+    corr_int = pallas_kernels.corr_window_int_multilevel(
+        f1_rows, f2_levels, ii.astype(jnp.int32), jj.astype(jnp.int32),
+        xs, nx, w2ps, interpret=interpret,
+    ).reshape(E, HW, 4, nx, nx)
+
+    out_levels = []
+    for lvl, (fx, fy) in enumerate(fracs):
+        ci = corr_int[:, :, lvl]
+        w00 = ((1 - fx) * (1 - fy))[..., None, None]
+        w10 = (fx * (1 - fy))[..., None, None]
+        w01 = ((1 - fx) * fy)[..., None, None]
+        w11 = (fx * fy)[..., None, None]
+        out = (ci[..., :rd, :rd] * w00 + ci[..., :rd, 1:] * w10
+               + ci[..., 1:, :rd] * w01 + ci[..., 1:, 1:] * w11)
+        out_levels.append(out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd))
+
+    corr = jnp.concatenate(out_levels, axis=-1)
+    return corr.transpose(0, 2, 1).reshape(E, -1, H, W)
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
 def alt_corr_pallas(
     fmaps: jax.Array,   # [N, C, H, W] feature buffer (unscaled)
     ii: jax.Array,      # [E]
@@ -225,6 +286,10 @@ def alt_corr(
     if impl is None:
         impl = "xla" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
+        # fused 4-level kernel: 54 ms vs 143 ms (per-level) vs 230 ms (XLA)
+        # vs 2670 ms (volume gathers) at Replica frontend shapes on v5e
+        return alt_corr_pallas_ml(fmaps, ii, jj, coords, radius=radius)
+    if impl == "pallas_per_level":
         return alt_corr_pallas(fmaps, ii, jj, coords, radius=radius)
     return alt_corr_xla(fmaps, ii, jj, coords, radius=radius, chunk=chunk)
 

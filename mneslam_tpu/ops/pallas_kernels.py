@@ -52,6 +52,90 @@ def _corr_window_kernel(
     jax.lax.fori_loop(0, hw, body, 0)
 
 
+def _corr_window_kernel_ml(
+    ii_ref, jj_ref,
+    f1_ref,       # [1, HW, C]
+    f2_0, f2_1, f2_2, f2_3,   # [1, H2W2p_l, C] per level
+    xs_0, xs_1, xs_2, xs_3,   # [1, HW, 1] padded slab row starts per level
+    out_0, out_1, out_2, out_3,   # [1, HW, NX * NX] per level
+    *,
+    hw: int,
+    nx: int,
+    w2ps,         # tuple of 4 padded widths
+):
+    f2_refs = (f2_0, f2_1, f2_2, f2_3)
+    xs_refs = (xs_0, xs_1, xs_2, xs_3)
+    out_refs = (out_0, out_1, out_2, out_3)
+
+    def body(p, _):
+        f1p = f1_ref[0, p, :]
+        for lvl in range(4):
+            start = xs_refs[lvl][0, p, 0]
+            rows = [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
+                    for j in range(nx)]
+            slab = jnp.concatenate(rows, axis=0)           # [nx*nx, C] j-major
+            out_refs[lvl][0, p, :] = jnp.sum(slab * f1p[None, :], axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, hw, body, 0)
+
+
+def corr_window_int_multilevel(
+    f1_rows: jax.Array,        # [N, HW, C]
+    f2_levels,                 # list of 4 [N, H2W2p_l, C]
+    ii: jax.Array,
+    jj: jax.Array,
+    xs: jax.Array,             # [E, HW, 4]
+    nx: int,
+    w2ps,                      # tuple of 4 padded widths
+    interpret: bool = False,
+) -> jax.Array:
+    """All 4 pyramid levels in one kernel -> [E, HW, 4*nx*nx] (j-major per
+    level). Amortizes the per-pixel loop overhead and the f1 row read 4x
+    versus one kernel per level."""
+    E = ii.shape[0]
+    N, HW, C = f1_rows.shape
+
+    def idx_e(e, s_ii, s_jj):
+        return (e, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, HW, C), lambda e, s_ii, s_jj: (s_ii[e], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for lv in f2_levels:
+        H2W2p = lv.shape[1]
+        in_specs.append(
+            pl.BlockSpec((1, H2W2p, C), lambda e, s_ii, s_jj: (s_jj[e], 0, 0),
+                         memory_space=pltpu.VMEM))
+    for _ in range(4):
+        in_specs.append(pl.BlockSpec((1, HW, 1), idx_e, memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E,),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, HW, nx * nx), idx_e, memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+    )
+    kernel = functools.partial(_corr_window_kernel_ml, hw=HW, nx=nx, w2ps=tuple(w2ps))
+    xs_args = [xs[..., l:l + 1].astype(jnp.int32) for l in range(4)]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((E, HW, nx * nx), f1_rows.dtype) for _ in range(4)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # all 4 levels resident
+        ),
+        interpret=interpret,
+    )(ii, jj, f1_rows, *f2_levels, *xs_args)
+    return jnp.stack(outs, axis=2)  # [E, HW, 4, nx*nx]
+
+
 def corr_window_int(
     f1_rows: jax.Array,   # [N, HW, C]
     f2_rows_pad: jax.Array,  # [N, H2W2p, C] x/y padded row layout
