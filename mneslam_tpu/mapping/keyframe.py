@@ -67,6 +67,44 @@ def add_keyframe(
     )
 
 
+def del_keyframe(db: KeyframeDB, slot: jax.Array) -> KeyframeDB:
+    """Remove a keyframe slot and compact (keyframe.py:52-62, invoked when
+    the tracker culls a redundant keyframe, factor_graph.py:184)."""
+    num_kf = db.rays.shape[0]
+    idx = jnp.arange(num_kf)
+    src = jnp.where(idx >= slot, jnp.minimum(idx + 1, num_kf - 1), idx)
+    return KeyframeDB(
+        rays=db.rays[src],
+        frame_ids=db.frame_ids[src].at[num_kf - 1].set(-1),
+        count=jnp.maximum(db.count - 1, 0),
+    )
+
+
+def keyframe_selection_overlap(
+    db_poses: jax.Array,       # [K, 4, 4] candidate keyframe c2w poses
+    rays_o: jax.Array,         # [R, 3] current-frame sample rays (world)
+    rays_d: jax.Array,         # [R, 3]
+    target_d: jax.Array,       # [R] depths along the rays
+    intrinsics: jax.Array,     # [4] fx fy cx cy
+    H: int,
+    W: int,
+) -> jax.Array:
+    """Fraction of the current frame's backprojected points visible in each
+    candidate keyframe (NICE-SLAM-style selection, keyframe.py:128-195).
+
+    Returns overlap ratios [K]; callers pick the top-k slots.
+    """
+    pts = rays_o + rays_d * target_d[:, None]              # [R, 3] world
+    w2c = jnp.linalg.inv(db_poses)                          # [K, 4, 4]
+    cam = jnp.einsum("kij,rj->kri", w2c[:, :3, :3], pts) + w2c[:, None, :3, 3]
+    z = -cam[..., 2]                                        # OpenGL forward
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    u = fx * (cam[..., 0] / jnp.maximum(z, 1e-6)) + cx
+    v = -fy * (cam[..., 1] / jnp.maximum(z, 1e-6)) + cy
+    inb = (z > 0.01) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    return jnp.mean(inb.astype(jnp.float32), axis=1)        # [K]
+
+
 def sample_global_rays(
     db: KeyframeDB, key: jax.Array, n: int
 ) -> Tuple[jax.Array, jax.Array]:

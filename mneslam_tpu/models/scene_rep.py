@@ -222,6 +222,20 @@ class SceneRep:
             rgb_map = rgb_map + (1.0 - acc_map[..., None])
         return rgb_map, disp_map, acc_map, weights, depth_map, depth_var
 
+    def render_surface_color(self, params: Dict, points: jax.Array,
+                             normal: jax.Array) -> jax.Array:
+        """Color at surface points by compositing along the normal
+        (scene_rep.py:333-349): z in [-trunc, trunc] around each point."""
+        n_rays = points.shape[0]
+        z_vals = jnp.broadcast_to(
+            jnp.linspace(-self.trunc, self.trunc, self.n_range_d),
+            (n_rays, self.n_range_d))
+        pts = points[:, None, :] + normal[:, None, :] * z_vals[..., None]
+        raw = self.query_color_sdf(params, pts.reshape(-1, 3)).reshape(
+            n_rays, self.n_range_d, 4)
+        rgb_map, *_ = self.raw2outputs(raw, z_vals)
+        return rgb_map
+
     def sample_pdf(self, bins: jax.Array, weights: jax.Array, n_importance: int,
                    key: Optional[jax.Array] = None) -> jax.Array:
         """Inverse-CDF importance sampling (model/utils.py:65-104).

@@ -109,3 +109,30 @@ def test_keyframe_db_roundtrip():
     assert set(np.asarray(slots).tolist()) <= {0, 1}
     # depths survived packing
     np.testing.assert_allclose(np.asarray(rays[:, 6]), 1.0)
+
+
+def test_keyframe_deletion_and_overlap_selection():
+    from mneslam_tpu.mapping import keyframe as kf_lib
+
+    db = kf_lib.init_db(num_kf=4, rays_per_kf=16)
+    key = jax.random.PRNGKey(0)
+    H, W = 8, 10
+    for fid in (5, 9, 13):
+        db = kf_lib.add_keyframe(db, jax.random.fold_in(key, fid), jnp.asarray(fid),
+                                 jax.random.normal(key, (H, W, 3)),
+                                 jax.random.uniform(key, (H, W, 3)),
+                                 jnp.ones((H, W)))
+    db2 = kf_lib.del_keyframe(db, jnp.asarray(1))
+    assert int(db2.count) == 2
+    assert list(np.asarray(db2.frame_ids[:3])) == [5, 13, -1]
+
+    # overlap: identical pose sees everything; a far pose sees nothing
+    poses = jnp.stack([jnp.eye(4), jnp.eye(4).at[0, 3].set(50.0)])
+    rays_o = jnp.zeros((32, 3))
+    rays_d = jnp.concatenate([0.1 * jax.random.normal(key, (32, 2)),
+                              -jnp.ones((32, 1))], axis=-1)
+    ratios = kf_lib.keyframe_selection_overlap(
+        poses, rays_o, rays_d, 2.0 * jnp.ones(32),
+        jnp.asarray([40.0, 40.0, 31.5, 23.5]), H=48, W=64)
+    assert float(ratios[0]) > 0.9
+    assert float(ratios[1]) < 0.1
