@@ -10,3 +10,28 @@ kernels for the hot ops, and device-mesh sharding for scale.
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (lazy — heavy modules import on first touch)
+__all__ = [
+    "MNESLAM",
+    "build_slam",
+    "make_config",
+    "load_config",
+    "get_dataset",
+]
+
+
+def __getattr__(name):
+    if name in ("MNESLAM", "build_slam"):
+        from . import slam
+
+        return getattr(slam, name)
+    if name in ("make_config", "load_config"):
+        from . import config
+
+        return getattr(config, name)
+    if name == "get_dataset":
+        from .data.datasets import get_dataset
+
+        return get_dataset
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

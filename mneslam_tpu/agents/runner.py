@@ -50,7 +50,10 @@ class AgentCollaboration:
         if descriptor_fn is None:
             descriptor_fn = make_descriptor_fn(cfg)
         self.loop_detector = LoopDetector(cfg, comms, descriptor_fn)
-        self.enable_loop_detect = cfg.get("loop_detection", {}).get("enabled", True)
+        # the reference's top-level enable_loop_detect key (§5.6) wins
+        self.enable_loop_detect = bool(cfg.get(
+            "enable_loop_detect",
+            cfg.get("loop_detection", {}).get("enabled", True)))
         self.all_agent_bounds = load_agent_bounds(cfg, slam.world_size)
         self.fused_agents: set[int] = set()
         self.fused_frame_ids: set = set()

@@ -455,7 +455,8 @@ class SceneRep:
     ) -> jax.Array:
         """Weighted total loss (mneslam_mp.py:350-372)."""
         tr = self.config["training"]
-        is_co = bool(tr.get("is_co_sdf", True))
+        # the reference keeps is_co_sdf at the config top level (§5.6)
+        is_co = bool(self.config.get("is_co_sdf", tr.get("is_co_sdf", True)))
         loss = 0.0
         if rgb:
             loss += tr["rgb_weight"] * ret["rgb_loss"]
