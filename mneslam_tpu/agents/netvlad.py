@@ -95,9 +95,12 @@ def load_netvlad_mat(path: str) -> Dict:
         "convs": convs,
         "score_w": jnp.asarray(score_w.T),     # K x D
         "centers": jnp.asarray(centers),       # D x K
-        "mean": jnp.asarray(
-            np.asarray(mat["net"].meta.normalization.averageImage[0, 0], np.float32)
-        ).reshape(-1),
+        # averageImage may arrive as [H, W, 3], [1, 1, 3] or squeezed — the
+        # reference reads pixel [0, 0]'s channel means, i.e. the first three
+        # flat values
+        "mean": jnp.asarray(np.asarray(
+            mat["net"].meta.normalization.averageImage, np.float32
+        ).reshape(-1)[:3]),
     }
     w = np.asarray(layers[33].weights[0], np.float32).squeeze()  # IN x OUT
     b = np.asarray(layers[33].weights[1], np.float32).squeeze()

@@ -159,3 +159,73 @@ def test_two_agent_mapping_with_fusion(tmp_path):
     assert runner.comms.get_keyframes(0) is not None
     assert runner.comms.get_keyframes(1) is not None
     assert runner.comms.get_checkpoint(0) is not None
+
+
+def test_netvlad_mat_importer(tmp_path):
+    """Round-trip the MatConvNet .mat importer against a synthetic checkpoint
+    with the reference layout (netvlad.py:76-121): conv layers as S x S x IN
+    x OUT, layer 30 = NetVLAD (score D x K, centers stored negated), layer
+    33 = whitening 1 x 1 x IN x OUT."""
+    from scipy.io import savemat
+
+    from mneslam_tpu.agents import netvlad as nv
+
+    rng = np.random.default_rng(0)
+    layers = []
+    in_ch = 3
+    conv_ws = []
+    for spec in nv.VGG_CFG:
+        if spec == "M":
+            layers.append({"type": "pool", "weights": np.empty(0, object)})
+            continue
+        w = rng.standard_normal((3, 3, in_ch, spec)).astype(np.float32) * 0.01
+        b = rng.standard_normal(spec).astype(np.float32) * 0.01
+        conv_ws.append((w, b))
+        wb = np.empty(2, object)
+        wb[0], wb[1] = w, b
+        layers.append({"type": "conv", "weights": wb})
+        # relu entries (ignored by the importer)
+        layers.append({"type": "relu", "weights": np.empty(0, object)})
+        in_ch = spec
+    # pad to make layer 30 the netvlad layer and 33 the whitening layer
+    while len(layers) < 30:
+        layers.append({"type": "relu", "weights": np.empty(0, object)})
+    layers = layers[:30]
+    score = rng.standard_normal((512, 64)).astype(np.float32) * 0.01
+    centers = rng.standard_normal((512, 64)).astype(np.float32) * 0.01
+    wb = np.empty(2, object)
+    wb[0], wb[1] = score, -centers  # stored negated
+    layers.append({"type": "netvlad", "weights": wb})
+    while len(layers) < 33:
+        layers.append({"type": "relu", "weights": np.empty(0, object)})
+    ww = rng.standard_normal((1, 1, 512 * 64, 4096)).astype(np.float32) * 0.001
+    wbias = rng.standard_normal((4096, 1)).astype(np.float32) * 0.01
+    wb2 = np.empty(2, object)
+    wb2[0], wb2[1] = ww, wbias
+    layers.append({"type": "conv", "weights": wb2})
+
+    mat = {
+        "net": {
+            "layers": np.asarray(layers, object),
+            "meta": {"normalization": {
+                "averageImage": np.asarray(
+                    [[np.asarray([123.68, 116.779, 103.939], np.float32)]],
+                    object)}},
+        }
+    }
+    path = str(tmp_path / "fake_netvlad.mat")
+    savemat(path, mat)
+
+    params = nv.load_netvlad_mat(path)
+    assert len(params["convs"]) == 13
+    np.testing.assert_allclose(np.asarray(params["convs"][0]["weight"]),
+                               conv_ws[0][0].transpose(3, 2, 0, 1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["score_w"]), score.T, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["centers"]), centers, atol=1e-7)
+    assert params["whiten_w"].shape == (4096, 512 * 64)
+
+    # full forward on a tiny image
+    img = jnp.asarray(rng.random((1, 3, 64, 64), np.float32))
+    desc = nv.netvlad_apply(params, img)
+    assert desc.shape == (1, 4096)
+    np.testing.assert_allclose(float(jnp.linalg.norm(desc)), 1.0, atol=1e-4)
