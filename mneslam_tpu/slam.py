@@ -61,7 +61,13 @@ class MNESLAM:
         os.makedirs(os.path.join(self.out_dir, "mesh"), exist_ok=True)
 
         self.scene = SceneRep(config)
-        num_kf = int(len(dataset) // config["mapping"]["keyframe_every"] + 1)
+        if self.mode == "mapping":
+            # GT-pose mode maps every keyframe_every-th frame
+            num_kf = int(len(dataset) // config["mapping"]["keyframe_every"] + 1)
+        else:
+            # SLAM mode maps every keyframe the motion filter admits —
+            # bounded by the tracking buffer and the sequence length
+            num_kf = min(len(dataset), int(config["tracking"]["buffer"])) + 1
         self.mapper = Mapper(config, self.scene, num_kf=num_kf,
                              rays_per_kf=dataset.num_rays_to_save)
         self.map_state = self.mapper.init_state(jax.random.PRNGKey(42 + rank))
@@ -174,8 +180,9 @@ class MNESLAM:
         # multi-agent hooks: publish + loop detection + loop closure
         # (mp_slam/mapper.py:224-229)
         if self.collab is not None:
-            kf_ts = np.asarray(self.mapped_timestamps, float)
-            kf_poses = np.asarray(self.map_state.kf_poses[: len(kf_ts)])
+            n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
+            kf_ts = np.asarray(self.mapped_timestamps[:n], float)
+            kf_poses = np.asarray(self.map_state.kf_poses[:n])
             self.collab.on_keyframe_mapped(
                 frame_idx, self.dataset[frame_idx]["rgb"],
                 np.asarray(pose_c2w), kf_poses, kf_ts,

@@ -142,3 +142,81 @@ def test_full_slam_with_culling_and_loop_ba(tmp_path):
     assert slam.tracker.frontend.last_loop_t > 0, "loop BA never triggered"
     assert "ate" in results
     assert results["ate"]["rmse"] < 0.08, results["ate"]
+
+
+@pytest.mark.slow
+def test_two_agent_slam_with_loop_closure(tmp_path):
+    """Two SLAM-mode agents on overlapping trajectory segments: per-frame
+    tracking (oracle), lagged mapping, descriptor publication, inter-agent
+    loop detection, and render-based pose alignment all through run_slam."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+
+    H, W = 64, 96
+
+    def agent_cfg(name):
+        return make_config({
+            "mode": "slam",
+            "data": {"output": str(tmp_path), "exp_name": name},
+            "mapping": {
+                "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+                "sample": 192, "min_pixels_cur": 48, "first_iters": 40, "iters": 6,
+                "keyframe_every": 4, "global_ba_every": 1000, "loop_iters": 20,
+                "distill_iters": 10, "lr_rot": 0.01, "lr_trans": 0.01,
+            },
+            "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+            "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
+                    "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+            "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+            "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+            "meshing": {"resolution": 0.25},
+            "tracking": {
+                "buffer": 32, "warmup": 4, "upsample": False,
+                "motion_filter": {"thresh": -1.0},
+                "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
+                             "window": 8, "radius": 1, "max_factors": 24,
+                             "nms": 0, "thresh": 25.0},
+                "backend": {"thresh": 25.0, "radius": 1, "nms": 1, "loop_window": 8,
+                            "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 1},
+            },
+            "loop_detection": {"enabled": True, "sim_threshold": 0.85,
+                               "min_time_diff": 50, "loop_launch_th": 2,
+                               "min_matches_for_fusion": 1},
+            "loop_bound": {"bound_0": [[-2.2, 2.2]] * 3, "bound_1": [[-2.2, 2.2]] * 3},
+        })
+
+    full = SyntheticBoxDataset(agent_cfg("x"), num_frames=20)
+
+    class Slice:
+        def __init__(self, ds, lo, hi):
+            self.ds, self.lo, self.n = ds, lo, hi - lo
+            self.num_rays_to_save = ds.num_rays_to_save
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            item = dict(self.ds[self.lo + i])
+            item["frame_id"] = i
+            return item
+
+    intr8 = jnp.asarray([60.0 / 8, 60.0 / 8, 47.5 / 8, 31.5 / 8])
+    agents = []
+    for rank, (lo, hi) in enumerate([(0, 13), (7, 20)]):
+        sl = Slice(full, lo, hi)
+        gt_table = gt_tracker_poses(sl)
+        update_fn, agg_fn = make_oracle(gt_table, intr8)
+        agents.append(MNESLAM(agent_cfg("ma_slam"), sl, rank=rank, world_size=2,
+                              update_fn=update_fn, agg_fn=agg_fn))
+
+    runner = MultiAgentRunner(agents)
+    for a in agents:
+        a.run_slam()
+    for a in agents:
+        a.collab.bound_based_fusion()
+
+    # both agents tracked, mapped, and published
+    for a in agents:
+        assert a.tracker.counter >= 10
+        assert a.map_counter >= 2
+        assert runner.comms.get_keyframes(a.rank) is not None
+    # descriptors were exchanged; overlapping views across agents exist
+    db = runner.comms.descriptors()
+    assert {e["agent_id"] for e in db} == {0, 1}
