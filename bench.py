@@ -58,8 +58,10 @@ def main():
     dev = jax.devices()[0]
     ht8, wd8 = H // 8, W // 8
 
-    # ---- tracking components ----
+    # ---- tracking components (bf16 nets, the production default) ----
     params = droid_net.init_droid_net(jax.random.PRNGKey(0))
+    if jax.default_backend() != "cpu":
+        params = droid_net.cast_params(params, jnp.bfloat16)
     img = jnp.asarray(np.random.default_rng(0).random((3, H, W), np.float32))
 
     fmap = encode_frame(params, img)  # warm

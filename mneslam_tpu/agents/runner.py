@@ -111,10 +111,13 @@ class AgentCollaboration:
                            kf_poses_c2w: np.ndarray, kf_timestamps: np.ndarray):
         """Post-mapping hook: publish, detect, maybe close a loop."""
         self.publish(kf_poses_c2w, kf_timestamps)
-        if not self.enable_loop_detect or self.slam.world_size <= 1:
+        if not self.enable_loop_detect:
             return None
         info = self.loop_detector.detect_and_add(kf_id, self.slam.rank, frame_rgb)
-        if info is not None and info["match_agent_id"] != self.slam.rank:
+        # same-agent matches also route through render-based alignment (the
+        # detector's min_time_diff already filters recent frames) — the
+        # reference handles both cases in handle_loop_closure
+        if info is not None:
             self.handle_loop_closure(info, kf_id, cur_c2w,
                                      kf_poses_c2w, kf_timestamps)
         return info
@@ -123,7 +126,8 @@ class AgentCollaboration:
                             kf_poses_c2w: np.ndarray, kf_timestamps: np.ndarray):
         slam = self.slam
         other = int(info["match_agent_id"])
-        self.fused_agents.add(other)
+        if other != slam.rank:
+            self.fused_agents.add(other)
         loop_id = (other, current_map_id)
         if loop_id in self.fused_frame_ids:
             return
@@ -205,6 +209,8 @@ class AgentCollaboration:
             set(range(slam.world_size)) - {slam.rank}
         )
         for other in sorted(candidates):
+            if other == slam.rank:
+                continue
             overlap = fusion.compute_overlap_bound(
                 self.all_agent_bounds[slam.rank],
                 self.all_agent_bounds.get(other, self.all_agent_bounds[slam.rank]),

@@ -130,8 +130,9 @@ def update_apply(
     w = jax.nn.relu(conv2d(p["weight"][0], net, padding=1))
     weight = jax.nn.sigmoid(clip_grad_custom(conv2d(p["weight"][1], w, padding=1)))
 
-    delta = delta.transpose(0, 2, 3, 1)
-    weight = weight.transpose(0, 2, 3, 1)
+    # downstream geometry (reprojection targets, BA) runs fp32
+    delta = delta.transpose(0, 2, 3, 1).astype(jnp.float32)
+    weight = weight.transpose(0, 2, 3, 1).astype(jnp.float32)
     return net, delta, weight
 
 
@@ -154,7 +155,7 @@ def agg_apply(
 
     eta = jax.nn.softplus(clip_grad_custom(conv2d(p["eta"][0], h2, padding=1)))
     upmask = conv2d(p["upmask"][0], h2)
-    return 0.01 * eta[:, 0], upmask
+    return (0.01 * eta[:, 0]).astype(jnp.float32), upmask.astype(jnp.float32)
 
 
 def init_update(key) -> Dict:
@@ -235,6 +236,12 @@ def context_encoder(params: Dict, images: jax.Array) -> Tuple[jax.Array, jax.Arr
 # ---------------------------------------------------------------------------
 # torch checkpoint import
 # ---------------------------------------------------------------------------
+
+def cast_params(params: Dict, dtype) -> Dict:
+    """Cast tracker weights (activations follow via conv2d) — bf16 is the
+    parity default, mirroring the reference's fp16 autocast."""
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
 
 def load_droid_weights(path: str) -> Dict:
     """Convert the published droid.pth torch state_dict into our pytree.

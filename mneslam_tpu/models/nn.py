@@ -16,9 +16,17 @@ import jax.numpy as jnp
 
 
 def conv2d(p: Dict, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
-    """NCHW conv with torch-layout weights. p = {"weight": [O,I,kh,kw], "bias": [O]?}."""
+    """NCHW conv with torch-layout weights. p = {"weight": [O,I,kh,kw], "bias": [O]?}.
+
+    Activations follow the parameter dtype: storing the tracker weights in
+    bf16 runs the whole conv stack in bf16 (the reference runs its tracker
+    under fp16 autocast, motion_filter.py:26).
+    """
+    w = p["weight"]
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
-        x, p["weight"],
+        x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

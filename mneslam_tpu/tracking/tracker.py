@@ -26,8 +26,17 @@ class Tracker:
         """intrinsics_full: (fx, fy, cx, cy) at the tracking resolution
         (cam.H_out x cam.W_out); stored internally at 1/8."""
         self.config = config
-        self.params = params
         tr = config["tracking"]
+        # bf16 tracker nets by default on accelerators (the reference runs
+        # under fp16 autocast); CPU emulates bf16 slowly, so stay fp32 there
+        precision = tr.get("precision")
+        if precision is None:
+            precision = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+        if precision == "bfloat16":
+            from ..models.droid_net import cast_params
+
+            params = cast_params(params, jnp.bfloat16)
+        self.params = params
         self.buffer = tr["buffer"]
         H_out, W_out = config["cam"]["H_out"], config["cam"]["W_out"]
         self.ht, self.wd = H_out // 8, W_out // 8

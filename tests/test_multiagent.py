@@ -229,3 +229,44 @@ def test_netvlad_mat_importer(tmp_path):
     desc = nv.netvlad_apply(params, img)
     assert desc.shape == (1, 4096)
     np.testing.assert_allclose(float(jnp.linalg.norm(desc)), 1.0, atol=1e-4)
+
+
+def test_same_agent_loop_closure(tmp_path):
+    """An agent revisiting earlier viewpoints closes the loop against its own
+    map via render alignment; with GT poses the corrective transform is
+    near-identity and the trajectory stays put."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+    from mneslam_tpu.slam import MNESLAM
+
+    cfg = tiny_cfg(tmp_path)
+    cfg["loop_detection"]["min_time_diff"] = 4
+    # stub descriptors aren't NetVLAD-discriminative: only exact revisits
+    # may match, else nearby views fire false loops mid-run
+    cfg["loop_detection"]["sim_threshold"] = 0.9999
+    cfg["mapping"].update(keyframe_every=1, iters=25, sample=512,
+                          first_iters=150, loop_iters=50,
+                          lr_rot=0.002, lr_trans=0.002)
+    base = SyntheticBoxDataset(cfg, num_frames=8)
+
+    class Revisit:
+        """Frames 0..7 then frames 0..2 again (revisited viewpoints)."""
+        def __init__(self, ds):
+            self.ds = ds
+            self.num_rays_to_save = ds.num_rays_to_save
+        def __len__(self):
+            return 11
+        def __getitem__(self, i):
+            item = dict(self.ds[i if i < 8 else i - 8])
+            item["frame_id"] = i
+            return item
+
+    a = MNESLAM(cfg, Revisit(base), rank=0, world_size=1)
+    runner = MultiAgentRunner([a])
+    runner.run_mapping_only()
+
+    # revisit triggered a same-agent loop and deformed (identically) poses
+    assert a.collab.aligned_poses_c2w is not None, "no same-agent loop fired"
+    gt = np.stack([base[i % 8]["c2w"] for i in range(len(a.collab.aligned_poses_c2w))])
+    aligned = np.asarray(a.collab.aligned_poses_c2w)
+    err = np.linalg.norm(aligned[:, :3, 3] - gt[: len(aligned), :3, 3], axis=1).max()
+    assert err < 0.35, f"loop closure corrupted a GT trajectory: {err}"
