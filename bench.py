@@ -34,7 +34,8 @@ def main():
     from mneslam_tpu.models.scene_rep import SceneRep
     from mneslam_tpu.tracking import video as video_lib
     from mneslam_tpu.tracking.graph import FactorGraph
-    from mneslam_tpu.tracking.motion_filter import encode_frame, encode_context, flow_magnitude
+    from mneslam_tpu.tracking.motion_filter import (
+        encode_and_flow, encode_frame, encode_context, flow_magnitude)
 
     if args.quick:
         H, W, buffer, window, factors, n_rays, iters = 128, 160, 32, 16, 24, 512, 10
@@ -66,12 +67,13 @@ def main():
 
     fmap = encode_frame(params, img)  # warm
     net, inp = encode_context(params, img)
-    _ = flow_magnitude(params, fmap, fmap, net, inp).block_until_ready()
+    _, d = encode_and_flow(params, fmap, net, inp, img)
+    d.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        f2 = encode_frame(params, img)
-        flow_magnitude(params, fmap, f2, net, inp).block_until_ready()
+        _, d = encode_and_flow(params, fmap, net, inp, img)
+        d.block_until_ready()
     per_frame = (time.perf_counter() - t0) / args.reps
     track_fps = 1.0 / per_frame
 

@@ -95,9 +95,10 @@ class FileComms(Comms):
     def add_descriptor(self, entry: Dict) -> None:
         d = os.path.join(self._agent_dir(self.rank), "descriptors")
         path = os.path.join(d, f"{self._desc_count:06d}.npz")
-        self._atomic_save(path, lambda p: np.savez(
-            p, descriptor=np.asarray(entry["descriptor"]),
-            kf_id=entry["kf_id"], agent_id=entry["agent_id"]))
+        self._atomic_save(path, lambda p: _savez_exact(p, {
+            "descriptor": np.asarray(entry["descriptor"]),
+            "kf_id": np.asarray(entry["kf_id"]),
+            "agent_id": np.asarray(entry["agent_id"])}))
         self._desc_count += 1
 
     def descriptors(self) -> List[Dict]:
@@ -124,9 +125,9 @@ class FileComms(Comms):
         d = self._agent_dir(rank)
         os.makedirs(d, exist_ok=True)
         self._atomic_save(os.path.join(d, "key_est_poses.npy"),
-                          lambda p: np.save(p, np.asarray(poses)))
+                          lambda p: _save_exact(p, np.asarray(poses)))
         self._atomic_save(os.path.join(d, "key_timestamps.npy"),
-                          lambda p: np.save(p, np.asarray(timestamps)))
+                          lambda p: _save_exact(p, np.asarray(timestamps)))
 
     def get_keyframes(self, rank):
         d = self._agent_dir(rank)
@@ -160,6 +161,12 @@ def _savez_exact(path: str, arrays: Dict[str, np.ndarray]):
     """np.savez appends .npz — write to the exact temp path instead."""
     with open(path, "wb") as f:
         np.savez(f, **arrays)
+
+
+def _save_exact(path: str, array: np.ndarray):
+    """np.save appends .npy — write to the exact temp path instead."""
+    with open(path, "wb") as f:
+        np.save(f, array)
 
 
 def pack_params(params) -> Dict[str, np.ndarray]:

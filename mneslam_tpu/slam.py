@@ -259,18 +259,28 @@ class MNESLAM:
         return self.terminate()
 
     def _to_tracking_res(self, rgb: np.ndarray) -> jax.Array:
+        """Edge-crop (cam.H_edge/W_edge) + resize to the tracking resolution
+        (the reference tracking loader's preprocessing,
+        datasets/dataset_track.py:91-148)."""
         cam = self.config["cam"]
         H_out, W_out = cam["H_out"], cam["W_out"]
-        img = jnp.asarray(rgb).transpose(2, 0, 1)
-        if rgb.shape[0] != H_out or rgb.shape[1] != W_out:
+        he, we = int(cam.get("H_edge", 0)), int(cam.get("W_edge", 0))
+        img = jnp.asarray(rgb)
+        if he or we:
+            img = img[he: img.shape[0] - he or None, we: img.shape[1] - we or None]
+        img = img.transpose(2, 0, 1)
+        if img.shape[1] != H_out or img.shape[2] != W_out:
             img = jax.image.resize(img, (3, H_out, W_out), "bilinear")
         return img
 
     def _depth_to_tracking_res(self, depth: np.ndarray) -> jax.Array:
         cam = self.config["cam"]
         H_out, W_out = cam["H_out"], cam["W_out"]
+        he, we = int(cam.get("H_edge", 0)), int(cam.get("W_edge", 0))
         d = jnp.asarray(depth)
-        if depth.shape != (H_out, W_out):
+        if he or we:
+            d = d[he: d.shape[0] - he or None, we: d.shape[1] - we or None]
+        if d.shape != (H_out, W_out):
             d = jax.image.resize(d, (H_out, W_out), "nearest")
         return d
 

@@ -44,6 +44,18 @@ def flow_magnitude(params: Dict, fmap_prev: jax.Array, fmap_new: jax.Array,
     return jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
 
+@partial(jax.jit, static_argnames=())
+def encode_and_flow(params: Dict, fmap_prev: jax.Array,
+                    net: jax.Array, inp: jax.Array, image: jax.Array):
+    """Fused per-frame step: feature-encode the new frame AND estimate flow
+    to the last keyframe in ONE dispatch (per-call latency over the remote
+    TPU link is comparable to the compute itself)."""
+    gmap = encode_frame(params, image)
+    corr = correlation.self_corr(fmap_prev, gmap)
+    _, delta, _ = droid_net.update_apply(params["update"], net[None], inp[None], corr)
+    return gmap, jnp.mean(jnp.linalg.norm(delta, axis=-1))
+
+
 class MotionFilter:
     def __init__(self, params: Dict, thresh: float = 4.0):
         self.params = params
@@ -63,10 +75,10 @@ class MotionFilter:
         gt_pose: Optional[jax.Array],
     ) -> Tuple[video_lib.VideoState, int, bool]:
         """Process one input frame; returns (state, counter, admitted)."""
-        gmap = encode_frame(self.params, image)
         gt = gt_pose if gt_pose is not None else jnp.eye(4)
 
         if counter == 0:
+            gmap = encode_frame(self.params, image)
             net, inp = encode_context(self.params, image)
             self.fmap, self.net, self.inp = gmap, net, inp
             state = video_lib.append_frame(
@@ -75,7 +87,9 @@ class MotionFilter:
             )
             return state, 1, True
 
-        delta = float(flow_magnitude(self.params, self.fmap, gmap, self.net, self.inp))
+        gmap, delta_arr = encode_and_flow(self.params, self.fmap, self.net,
+                                          self.inp, image)
+        delta = float(delta_arr)
         if delta > self.thresh:
             self.count = 0
             net, inp = encode_context(self.params, image)

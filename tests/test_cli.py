@@ -1,0 +1,62 @@
+"""CLI smoke test: config file -> mapping-only run -> output contract."""
+
+import os
+import subprocess
+import sys
+
+
+def test_cli_mapping_only(tmp_path):
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(f"""
+dataset: 'synthetic'
+mode: 'mapping'
+data:
+  output: '{tmp_path}/out'
+  exp_name: 'cli'
+  num_frames: 6
+mapping:
+  bound: [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]]
+  marching_cubes_bound: [[-2.1, 2.1], [-2.1, 2.1], [-2.1, 2.1]]
+  sample: 256
+  min_pixels_cur: 48
+  first_iters: 40
+  iters: 8
+  keyframe_every: 3
+planes_res:
+  coarse: 0.44
+  fine: 0.22
+  bound_dividable: 0.22
+cam:
+  H: 40
+  W: 56
+  fx: 35.0
+  fy: 35.0
+  cx: 27.5
+  cy: 19.5
+  near: 0.0
+  far: 8.0
+training:
+  n_range_d: 9
+  n_samples_d: 8
+  range_d: 0.25
+  trunc: 0.15
+model:
+  c_dim: 16
+  input_ch: 32
+  input_ch_pos: 48
+  truncation: 0.15
+meshing:
+  resolution: 0.25
+loop_detection:
+  enabled: false
+""")
+    env = dict(os.environ, PYTHONPATH=".", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "mneslam_tpu.cli", "--config", str(cfg_path)],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_dir = tmp_path / "out" / "cli" / "agent_0"
+    assert (out_dir / "mesh" / "final_mesh.ply").exists()
+    assert (out_dir / "metrics.jsonl").exists()
+    assert (out_dir / "final_checkpoint.npz").exists()

@@ -270,3 +270,33 @@ def test_same_agent_loop_closure(tmp_path):
     aligned = np.asarray(a.collab.aligned_poses_c2w)
     err = np.linalg.norm(aligned[:, :3, 3] - gt[: len(aligned), :3, 3], axis=1).max()
     assert err < 0.35, f"loop closure corrupted a GT trajectory: {err}"
+
+
+def test_file_comms_roundtrip(tmp_path):
+    """On-disk exchange protocol (atomic renames): descriptors, keyframes,
+    checkpoints across two FileComms instances."""
+    from mneslam_tpu.agents.comms import FileComms
+
+    c0 = FileComms(str(tmp_path), rank=0)
+    c1 = FileComms(str(tmp_path), rank=1)
+
+    c0.add_descriptor({"descriptor": np.arange(8.0), "kf_id": 3, "agent_id": 0})
+    c1.add_descriptor({"descriptor": np.ones(8), "kf_id": 5, "agent_id": 1})
+    db = c0.descriptors()
+    assert len(db) == 2
+    assert {e["agent_id"] for e in db} == {0, 1}
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    c0.publish_keyframes(0, poses, np.asarray([0.0, 5.0, 10.0]))
+    got = c1.get_keyframes(0)
+    assert got is not None
+    np.testing.assert_allclose(got[0], poses)
+    np.testing.assert_allclose(got[1], [0, 5, 10])
+
+    params = {"planes": {"xy": [jnp.ones((2, 3, 4))]}, "decoder": {"sdf": [jnp.zeros((5, 6))]}}
+    c0.publish_checkpoint(0, params, {"bound": np.asarray([[-1, 1]] * 3, np.float32)})
+    flat, meta = c1.get_checkpoint(0)
+    assert "bound" in meta
+    from mneslam_tpu.agents.comms import unpack_params
+    restored = unpack_params(params, flat)
+    np.testing.assert_allclose(np.asarray(restored["planes"]["xy"][0]), 1.0)
