@@ -106,17 +106,22 @@ def reproject(state: VideoState, intrinsics: jax.Array, ii: jax.Array, jj: jax.A
     return projective.projective_transform(state.poses, state.disps, intrinsics, ii, jj)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("chunk",))
 def frame_distance(
     state: VideoState,
     intrinsics: jax.Array,
     ii: jax.Array,
     jj: jax.Array,
     beta: float | jax.Array = 0.3,
+    chunk: int = 2048,
 ) -> jax.Array:
     """Mean-flow distance metric (droid_kernels.cu frame_distance_kernel):
     beta-blend of full-reprojection flow and translation-only flow, averaged
-    bidirectionally; 1000 where < 75% of pixels stay valid."""
+    bidirectionally; 1000 where < 75% of pixels stay valid.
+
+    Edge lists are processed in fixed-size chunks: proximity proposal feeds
+    the full t x t pair grid (up to buffer^2 = 62k pairs), whose per-pair
+    point clouds would otherwise materialize gigabytes at once."""
 
     def one_direction(a, b):
         X0 = projective.iproj(state.disps[a], intrinsics)
@@ -142,7 +147,15 @@ def frame_distance(
         frac = valid / (total + 1e-8)
         return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
 
-    return 0.5 * (one_direction(ii, jj) + one_direction(jj, ii))
+    E = ii.shape[0]
+    pad = (chunk - E % chunk) % chunk
+    iip = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)]).reshape(-1, chunk)
+    jjp = jnp.concatenate([jj, jnp.zeros(pad, jj.dtype)]).reshape(-1, chunk)
+    d = jax.lax.map(
+        lambda ab: 0.5 * (one_direction(ab[0], ab[1]) + one_direction(ab[1], ab[0])),
+        (iip, jjp),
+    )
+    return d.reshape(-1)[:E]
 
 
 @partial(jax.jit, static_argnames=("iters", "motion_only"))
