@@ -1,0 +1,115 @@
+"""End-to-end full-SLAM evaluation on the synthetic box room (real TPU).
+
+Oracle update op (ground-truth reprojection targets — the learned droid.pth
+is an external input), real everything else: motion filter, frontend
+updates, windowed BA with the RGB-D prior, lagged mapping, trajectory fill,
+Sim3 APE. Reports quality + per-stage timing.
+
+    python tools/eval_slam_synthetic.py [--frames 40] [--hw 320,640]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+from mneslam_tpu.ops import lie, projective
+from mneslam_tpu.slam import MNESLAM
+
+FLIP = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def gt_tracker_poses(dataset):
+    G0 = dataset[0]["c2w"]
+    table = []
+    for i in range(len(dataset)):
+        Gi = dataset[i]["c2w"]
+        C = FLIP @ np.linalg.inv(G0) @ Gi @ FLIP
+        table.append(np.asarray(lie.from_matrix(jnp.asarray(np.linalg.inv(C)))))
+    return jnp.asarray(np.stack(table))
+
+
+def make_oracle(gt_table, intrinsics):
+    def update_fn(params, state, ii, jj, net, corr, motion, coords1):
+        idx = jnp.clip(state.timestamps.astype(jnp.int32), 0, gt_table.shape[0] - 1)
+        tgt, valid = projective.projective_transform(
+            gt_table[idx], state.disps_sens, intrinsics, ii, jj)
+        return net, tgt - coords1, jnp.broadcast_to(valid, tgt.shape)
+
+    def agg_fn(params, net, ii, mask, B):
+        ht, wd = net.shape[2], net.shape[3]
+        return 1e-4 * jnp.ones((net.shape[0], ht, wd)), \
+            jnp.zeros((net.shape[0], 576, ht, wd))
+
+    return update_fn, agg_fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--hw", default="320,640")
+    ap.add_argument("--out", default="/tmp/eval_slam")
+    args = ap.parse_args()
+    H, W = (int(x) for x in args.hw.split(","))
+    fx = W / 2.0
+
+    cfg = make_config({
+        "mode": "slam",
+        "data": {"output": args.out, "exp_name": "eval"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.05, 2.05]] * 3,
+            "sample": 2048, "min_pixels_cur": 100, "first_iters": 200, "iters": 50,
+            "keyframe_every": 5, "global_ba_every": 1000,
+        },
+        "planes_res": {"coarse": 0.08, "fine": 0.04, "bound_dividable": 0.08},
+        "cam": {"H": H, "W": W, "fx": fx, "fy": fx, "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1, "trunc": 0.1},
+        "model": {"c_dim": 32, "input_ch": 64, "input_ch_pos": 48, "truncation": 0.1},
+        "meshing": {"resolution": 0.04},
+        "tracking": {
+            "buffer": args.frames + 2, "warmup": 8, "upsample": False,
+            "motion_filter": {"thresh": -1.0},
+            "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
+                         "window": 25, "radius": 1, "max_factors": 75,
+                         "nms": 0, "thresh": 25.0},
+            "backend": {"thresh": 25.0, "radius": 1, "nms": 2, "loop_window": 25,
+                        "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 2},
+        },
+        "loop_detection": {"enabled": False},
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=args.frames)
+    gt_table = gt_tracker_poses(ds)
+    intr8 = jnp.asarray([fx / 8, fx / 8, (W / 2 - 0.5) / 8, (H / 2 - 0.5) / 8])
+    update_fn, agg_fn = make_oracle(gt_table, intr8)
+
+    slam = MNESLAM(cfg, ds, rank=0, update_fn=update_fn, agg_fn=agg_fn)
+    t0 = time.perf_counter()
+    results = slam.run_slam()
+    wall = time.perf_counter() - t0
+
+    report = {
+        "frames": args.frames,
+        "resolution": f"{H}x{W}",
+        "keyframes": slam.tracker.counter,
+        "mapped": slam.map_counter,
+        "ate_rmse_m": results.get("ate", {}).get("rmse"),
+        "mesh_verts": results.get("mesh_verts"),
+        "final_train_psnr_db": slam.metrics_log[-1]["psnr"] if slam.metrics_log else None,
+        "wall_s": round(wall, 1),
+        "end_to_end_fps": round(args.frames / wall, 2),
+        "stage_timers": slam.timers.summary(),
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
