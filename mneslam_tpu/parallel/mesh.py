@@ -20,8 +20,6 @@ checkpoint files.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -229,7 +229,6 @@ class MNESLAM:
 
     def run_slam(self):
         """Full SLAM: per-frame tracking, lagged mapping, periodic global BA."""
-        cam = self.config["cam"]
         last_global_ba = 0
         for idx in range(len(self.dataset)):
             item = self.dataset[idx]
