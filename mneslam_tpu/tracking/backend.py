@@ -4,11 +4,9 @@ Rebuild of `/root/reference/tracker/backend.py`: edge proposal by sorted
 frame distance with radius/NMS suppression (+ the loop variant's cluster
 test), then `steps` rounds of GRU/DBA iteration over a fresh factor graph.
 
-TPU note: pose/depth updates happen inside a static BA window that covers
-[t_end - window, t_end). Loop-closure edges anchored at frames older than
-the window are dropped from the DBA system (they still steer edge
-proposal); full-history exact BA with sparse Schur assembly is the planned
-upgrade (SURVEY.md §7.3 "DBA on TPU").
+TPU note: short spans solve inside a static dense-E BA window; spans beyond
+SPARSE_BA_THRESHOLD frames (global BA, loop BA with old anchors) route
+through the exact full-history sparse-Schur solver (`ops/ba_sparse.py`).
 """
 
 from __future__ import annotations
@@ -73,9 +71,8 @@ class Backend:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
-        d = np.asarray(video_lib.frame_distance(
-            state, self.intrinsics, jnp.asarray(ii), jnp.asarray(jj), beta=self.beta
-        )).astype(np.float64)
+        d = video_lib.frame_distance_padded(
+            state, self.intrinsics, ii, jj, beta=self.beta).astype(np.float64)
         rawd = d.copy().reshape(ilen, jlen)
         d[ii - radius < jj] = np.inf
         d[d > thresh] = np.inf

@@ -373,11 +373,8 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
-        d = np.array(
-            video_lib.frame_distance(
-                state, self.intrinsics, jnp.asarray(ii), jnp.asarray(jj), beta=beta
-            )
-        )  # np.array: writable copy (np.asarray of a jax array is read-only)
+        d = video_lib.frame_distance_padded(
+            state, self.intrinsics, ii, jj, beta=beta)
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
         d = d.reshape(ilen, jlen)

@@ -106,6 +106,22 @@ def reproject(state: VideoState, intrinsics: jax.Array, ii: jax.Array, jj: jax.A
     return projective.projective_transform(state.poses, state.disps, intrinsics, ii, jj)
 
 
+def frame_distance_padded(state, intrinsics, ii, jj, beta=0.3):
+    """Host-friendly wrapper: pads the edge list to the next power of two so
+    the jitted kernel compiles O(log E) variants instead of one per distinct
+    proposal size (edge grids grow every keyframe)."""
+    import numpy as np2
+
+    E = len(ii)
+    cap = 1 << max(int(np2.ceil(np2.log2(max(E, 1)))), 4)
+    iip = np2.zeros(cap, np2.int32)
+    jjp = np2.zeros(cap, np2.int32)
+    iip[:E] = np2.asarray(ii)
+    jjp[:E] = np2.asarray(jj)
+    d = frame_distance(state, intrinsics, jnp.asarray(iip), jnp.asarray(jjp), beta=beta)
+    return np2.array(d[:E])
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def frame_distance(
     state: VideoState,
@@ -148,6 +164,8 @@ def frame_distance(
         return jnp.where(frac < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8))
 
     E = ii.shape[0]
+    if E <= chunk:
+        return 0.5 * (one_direction(ii, jj) + one_direction(jj, ii))
     pad = (chunk - E % chunk) % chunk
     iip = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)]).reshape(-1, chunk)
     jjp = jnp.concatenate([jj, jnp.zeros(pad, jj.dtype)]).reshape(-1, chunk)
