@@ -70,11 +70,15 @@ def main():
     _, d = encode_and_flow(params, fmap, net, inp, img)
     d.block_until_ready()
 
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
+    # median over per-rep timings: the remote-TPU dispatch path has
+    # occasional multi-ms tunnel hiccups that a single mean absorbs
+    times = []
+    for _ in range(args.reps * 2):
+        t0 = time.perf_counter()
         _, d = encode_and_flow(params, fmap, net, inp, img)
         d.block_until_ready()
-    per_frame = (time.perf_counter() - t0) / args.reps
+        times.append(time.perf_counter() - t0)
+    per_frame = float(np.median(times))
     track_fps = 1.0 / per_frame
 
     # frontend update step (the per-keyframe cost): window of edges

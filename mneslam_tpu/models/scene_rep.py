@@ -26,6 +26,12 @@ import numpy as np
 from ..ops import encodings, interp
 from . import decoder as decoder_lib
 
+import os
+
+# "packed" (default): one pack_corners row gather per point per plane.
+# "rows": four per-corner row gathers (the pre-pack baseline).
+_PLANE_SAMPLER = os.environ.get("MNESLAM_PLANE_SAMPLER", "packed")
+
 
 def _plane_shapes(bound: np.ndarray, resolutions, c_dim: int):
     """Per-level (xy, xz, yz) plane shapes, mirroring the reference's
@@ -144,17 +150,34 @@ class SceneRep:
         Per level: bilinear(xy) + bilinear(xz) + bilinear(yz), levels
         concatenated — ESLAM's summation scheme (scene_rep.py:28-53).
 
-        TPU note: the 24 separate per-corner row gathers ARE the measured
-        optimum on v5e (~18 ns/row). Tried and rejected: one fused gather
-        over a concatenated table (6x slower — XLA gather cost scales per
-        index and the monolith loses inter-op overlap), [2,2,C] slab
-        dynamic_slice per point (60x slower), bf16 tables (no gain).
+        TPU note: each plane is `pack_corners`-ed so every sample point
+        needs ONE row gather of all 4 bilinear corners instead of 4 — the
+        XLA gather floor on v5e is ~18 ns per index regardless of row
+        width, so this is a ~4x cut on the mapping hot path (the pack is
+        dense shifted copies, amortized over ~1e5 gathers per step).
+        Tried and rejected earlier: one fused gather over a concatenated
+        multi-plane table (6x slower — more indices, lost inter-op
+        overlap), [2,2,C] slab dynamic_slice per point (60x slower), bf16
+        tables (no gain). Set MNESLAM_PLANE_SAMPLER=rows for the plain
+        4-gather path.
         """
+        packed = _PLANE_SAMPLER != "rows"
         feats = []
         for lvl in range(len(planes["xy"])):
-            xy = interp.grid_sample_2d(planes["xy"][lvl], p_nor[:, [0, 1]])
-            xz = interp.grid_sample_2d(planes["xz"][lvl], p_nor[:, [0, 2]])
-            yz = interp.grid_sample_2d(planes["yz"][lvl], p_nor[:, [1, 2]])
+            if packed:
+                xy = interp.grid_sample_2d_packed(
+                    interp.pack_corners(planes["xy"][lvl]),
+                    planes["xy"][lvl].shape, p_nor[:, [0, 1]])
+                xz = interp.grid_sample_2d_packed(
+                    interp.pack_corners(planes["xz"][lvl]),
+                    planes["xz"][lvl].shape, p_nor[:, [0, 2]])
+                yz = interp.grid_sample_2d_packed(
+                    interp.pack_corners(planes["yz"][lvl]),
+                    planes["yz"][lvl].shape, p_nor[:, [1, 2]])
+            else:
+                xy = interp.grid_sample_2d(planes["xy"][lvl], p_nor[:, [0, 1]])
+                xz = interp.grid_sample_2d(planes["xz"][lvl], p_nor[:, [0, 2]])
+                yz = interp.grid_sample_2d(planes["yz"][lvl], p_nor[:, [1, 2]])
             feats.append(xy + xz + yz)
         return jnp.concatenate(feats, axis=-1)
 
