@@ -75,7 +75,10 @@ _DEFAULTS: Dict[str, Any] = {
         "beta": 0.75,
         "warmup": 8,
         "upsample": False,
-        "motion_filter": {"thresh": 4.0},
+        # batch: frames per motion-filter dispatch (1 = per-frame). Larger
+        # batches amortize the per-readback device-link latency; admission
+        # semantics are identical at any batch size.
+        "motion_filter": {"thresh": 4.0, "batch": 8},
         "frontend": {
             "enable_loop": True,
             "keyframe_thresh": 4.0,

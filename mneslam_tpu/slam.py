@@ -228,15 +228,28 @@ class MNESLAM:
         return self.metrics_log
 
     def run_slam(self):
-        """Full SLAM: per-frame tracking, lagged mapping, periodic global BA."""
+        """Full SLAM: batched tracking, lagged mapping, periodic global BA.
+
+        Frames go through the motion filter in batches of
+        `tracking.motion_filter.batch` (admission semantics identical to
+        per-frame; batching amortizes the per-dispatch readback latency of
+        the device link — see motion_filter.track_batch)."""
         last_global_ba = 0
-        for idx in range(len(self.dataset)):
-            item = self.dataset[idx]
-            img_track = self._to_tracking_res(item["rgb"])
-            depth_track = self._depth_to_tracking_res(item["depth"])
+        batch = max(1, int(self.config["tracking"]["motion_filter"].get("batch", 1)))
+        n_frames = len(self.dataset)
+        for start in range(0, n_frames, batch):
+            idxs = list(range(start, min(start + batch, n_frames)))
+            items = [self.dataset[i] for i in idxs]
+            imgs = [self._to_tracking_res(it["rgb"]) for it in items]
+            deps = [self._depth_to_tracking_res(it["depth"]) for it in items]
+            gts = [jnp.asarray(it["c2w"]) for it in items]
             with self.timers.stage("track_frame"):
-                self.tracker.run(float(idx), img_track, depth=depth_track,
-                                 gt_pose=jnp.asarray(item["c2w"]))
+                if batch == 1:
+                    self.tracker.run(float(idxs[0]), imgs[0], depth=deps[0],
+                                     gt_pose=gts[0])
+                else:
+                    self.tracker.run_batch([float(i) for i in idxs], imgs,
+                                           deps, gts)
 
             # map pending keyframes (stay >= 1 behind tracking —
             # mp_slam/mapper.py:173-176's race guard, now deterministic)

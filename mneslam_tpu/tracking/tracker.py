@@ -67,6 +67,35 @@ class Tracker:
             self.state, self.counter = self.frontend(self.state, self.counter)
         return admitted
 
+    def run_batch(
+        self,
+        timestamps,
+        images,
+        depths,
+        gt_poses=None,
+    ):
+        """Track a batch of frames with one motion-filter dispatch/readback
+        (see motion_filter.track_batch), then replay the frontend exactly as
+        the sequential loop would. Returns the per-frame admitted flags."""
+        if self.counter + len(timestamps) > self.buffer:
+            raise ValueError(
+                f"keyframe buffer too small: {self.counter}+{len(timestamps)} "
+                f"> {self.buffer}")
+        self.state, batch_counter, admitted = self.motion_filter.track_batch(
+            self.state, self.counter, timestamps, images, depths, gt_poses)
+        # frontend replay: same call sequence as per-frame Tracker.run —
+        # counter advances by one per admitted frame; the frontend may cull
+        # (counter -= 1), which compacts the buffer consistently under the
+        # batch-written keyframes (remove_keyframe shifts all slots >= ix).
+        cnt = self.counter
+        for adm in admitted:
+            if adm:
+                cnt += 1
+            if adm or self.frontend.is_initialized:
+                self.state, cnt = self.frontend(self.state, cnt)
+        self.counter = cnt
+        return admitted
+
     def global_ba(self, steps: int = 6):
         """Full dense BA over tracked history (mneslam_mp.py:51-87)."""
         self.state, n, n_edges = self.backend.dense_ba(

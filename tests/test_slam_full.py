@@ -121,7 +121,9 @@ def test_full_slam_with_culling_and_loop_ba(tmp_path):
         "meshing": {"resolution": 0.2},
         "tracking": {
             "buffer": 40, "warmup": 5, "upsample": False,
-            "motion_filter": {"thresh": -1.0},
+            # batch 1 keeps the per-frame Tracker.run path covered (the
+            # other SLAM tests run the default batched motion filter)
+            "motion_filter": {"thresh": -1.0, "batch": 1},
             "frontend": {"enable_loop": True, "keyframe_thresh": 1.2,
                          "window": 8, "radius": 1, "max_factors": 30,
                          "nms": 0, "thresh": 25.0},
@@ -220,3 +222,73 @@ def test_two_agent_slam_with_loop_closure(tmp_path):
     # descriptors were exchanged; overlapping views across agents exist
     db = runner.comms.descriptors()
     assert {e["agent_id"] for e in db} == {0, 1}
+
+
+@pytest.mark.slow
+def test_tracker_batch_equals_sequential(tmp_path):
+    """Tracker.run_batch == per-frame Tracker.run through the full frontend
+    (init, windowed BA, keyframe culling): same counters, timestamps, poses."""
+    from mneslam_tpu.models import droid_net
+    from mneslam_tpu.tracking.motion_filter import encode_and_flow, encode_frame
+    from mneslam_tpu.tracking.tracker import Tracker
+
+    H, W = 64, 96
+    cfg = make_config({
+        "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+        "mapping": {"bound": [[-2.2, 2.2]] * 3,
+                    "marching_cubes_bound": [[-2.1, 2.1]] * 3},
+        "tracking": {
+            "buffer": 40, "warmup": 5, "upsample": False,
+            "motion_filter": {"thresh": -1.0},
+            "frontend": {"enable_loop": False, "keyframe_thresh": 1.2,
+                         "window": 8, "radius": 1, "max_factors": 30,
+                         "nms": 0, "thresh": 25.0},
+            "backend": {"thresh": 25.0, "radius": 1, "nms": 1, "loop_window": 8,
+                        "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 1},
+        },
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=18)
+    gt_table = gt_tracker_poses(ds)
+    intr_full = np.asarray([60.0, 60.0, 47.5, 31.5])
+    update_fn, agg_fn = make_oracle(gt_table, jnp.asarray(intr_full / 8.0))
+    params = droid_net.init_droid_net(jax.random.PRNGKey(11))
+
+    frames = []
+    for i in range(len(ds)):
+        it = ds[i]
+        frames.append((float(i),
+                       jnp.asarray(it["rgb"]).transpose(2, 0, 1),
+                       jnp.asarray(it["depth"]),
+                       jnp.asarray(it["c2w"])))
+
+    # mixed-admission threshold from a pre-pass over the first few frames
+    fm = encode_frame(params, frames[0][1])
+    z = jnp.zeros((128, H // 8, W // 8))
+    dels = [float(encode_and_flow(params, fm, z, z, f[1])[1]) for f in frames[1:4]]
+    thresh = float(np.median(dels))
+
+    def run(batch):
+        cfg["tracking"]["motion_filter"]["thresh"] = thresh
+        tr = Tracker(cfg, params, intr_full, update_fn=update_fn, agg_fn=agg_fn)
+        if batch == 1:
+            for ts, im, dep, gt in frames:
+                tr.run(ts, im, depth=dep, gt_pose=gt)
+        else:
+            for s in range(0, len(frames), batch):
+                ch = frames[s:s + batch]
+                tr.run_batch([f[0] for f in ch], [f[1] for f in ch],
+                             [f[2] for f in ch], [f[3] for f in ch])
+        return tr
+
+    tr_a, tr_b = run(1), run(5)
+    assert tr_a.counter == tr_b.counter
+    assert tr_a.frontend.removed_count == tr_b.frontend.removed_count
+    np.testing.assert_allclose(np.asarray(tr_a.state.timestamps[:tr_a.counter]),
+                               np.asarray(tr_b.state.timestamps[:tr_a.counter]))
+    np.testing.assert_allclose(np.asarray(tr_a.state.poses[:tr_a.counter]),
+                               np.asarray(tr_b.state.poses[:tr_a.counter]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr_a.state.disps[:tr_a.counter]),
+                               np.asarray(tr_b.state.disps[:tr_a.counter]),
+                               atol=1e-3)

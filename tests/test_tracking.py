@@ -284,3 +284,62 @@ def test_graph_sparse_ba_matches_dense_path():
         lie.log(lie.mul(jnp.asarray(results[True]), lie.inv(gt_poses[:n]))), axis=-1)))
     assert err < 5e-3, f"sparse path did not converge: {err}"
     np.testing.assert_allclose(results[True], results[False], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# batched motion filter
+# ---------------------------------------------------------------------------
+
+def test_motion_filter_batch_equivalence():
+    """track_batch (on-device lax.scan admission loop) == per-frame track:
+    same admitted flags, counter, buffer contents, and reference features."""
+    from mneslam_tpu.tracking.motion_filter import MotionFilter, encode_and_flow, encode_frame
+
+    params = droid_net.init_droid_net(jax.random.PRNGKey(7))
+    H, W = 64, 96
+    rng = np.random.default_rng(3)
+    n = 9
+    imgs = [jnp.asarray(rng.random((3, H, W), np.float32)) for _ in range(n)]
+    deps = [jnp.asarray(0.5 + rng.random((H, W), np.float32)) for _ in range(n)]
+    gts = [jnp.asarray(np.eye(4, dtype=np.float32)) for _ in range(n)]
+
+    # pick a threshold in the middle of the observed deltas so the batch
+    # exercises both admit and skip branches
+    fm = encode_frame(params, imgs[0])
+    net = jnp.zeros((128, H // 8, W // 8))
+    inp = jnp.zeros((128, H // 8, W // 8))
+    ds = [float(encode_and_flow(params, fm, net, inp, im)[1]) for im in imgs[1:4]]
+    thresh = float(np.median(ds))
+
+    def run(mode):
+        mf = MotionFilter(params, thresh=thresh)
+        state = video_lib.init_video(16, H // 8, W // 8)
+        counter, flags = 0, []
+        if mode == "seq":
+            for i in range(n):
+                state, counter, adm = mf.track(state, counter, float(i),
+                                               imgs[i], deps[i], gts[i])
+                flags.append(adm)
+        else:
+            for s in range(0, n, 4):
+                e = min(s + 4, n)
+                state, counter, f = mf.track_batch(
+                    state, counter, [float(i) for i in range(s, e)],
+                    imgs[s:e], deps[s:e], gts[s:e])
+                flags.extend(f)
+        return state, counter, flags, mf
+
+    st_a, c_a, f_a, mf_a = run("seq")
+    st_b, c_b, f_b, mf_b = run("batch")
+
+    assert f_a == f_b, (f_a, f_b)
+    assert c_a == c_b
+    assert mf_a.count == mf_b.count
+    np.testing.assert_allclose(np.asarray(st_a.timestamps[:c_a]),
+                               np.asarray(st_b.timestamps[:c_a]))
+    for name in ("fmaps", "nets", "inps", "disps_sens", "disps", "poses_gt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_a, name)[:c_a]),
+            np.asarray(getattr(st_b, name)[:c_a]), atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(mf_a.fmap), np.asarray(mf_b.fmap),
+                               atol=1e-5)
