@@ -182,22 +182,42 @@ def bundle_adjust(
                 disps_sens.reshape(N, HW) - disps.reshape(N, HW)
             )
 
-        # --- pose-depth coupling, assembled dense over (pose, frame) ---
-        # E_full[p, k] += Ei (p = ii, k = ii) and Ej (p = jj, k = ii).
-        Efull = (
-            jax.ops.segment_sum(Ei, ii * N + ii, num_segments=N * N)
-            + jax.ops.segment_sum(Ej, jj * N + ii, num_segments=N * N)
-        ).reshape(N, N, D, HW)
-        Efull = Efull * opt_pose[:, None, None, None]
-        Emat = Efull.transpose(0, 2, 1, 3).reshape(N * D, N * HW)
+        # --- pose-depth coupling + Schur complement, edge-pairwise ---
+        # The dense E matrix is [N*D, N*HW] with nonzero 6xHW blocks only at
+        # (p=ii,k=ii) and (p=jj,k=ii) per edge, so materializing it (and the
+        # layout transposes that follow) wastes HBM traffic on zeros. Instead
+        # stack the per-edge blocks [2E, D, HW] and form the Schur terms
+        # directly: S[p_a, p_b] -= Ea Q_k Eb^T over block pairs sharing a
+        # source frame k — one big MXU matmul + a small block scatter.
+        Ecat = jnp.concatenate([Ei, Ej], axis=0)          # [2E, D, HW]
+        pidx = jnp.concatenate([ii, jj])                  # pose row per block
+        kidx = jnp.concatenate([ii, ii])                  # depth frame per block
+        Ecat = Ecat * opt_pose[pidx][:, None, None]       # gauge-fix rows
 
-        # --- Schur complement solve (chol.py:46-73) ---
-        Q = 1.0 / C.reshape(N * HW)
-        EQ = Emat * Q[None, :]
-        S = Hmat - EQ @ Emat.T
-        rhs = vvec - EQ @ wvec.reshape(N * HW)
+        Qk = (1.0 / C)[kidx]                              # [2E, HW]
+        Pq = Ecat * Qk[:, None, :]                        # E Q, blockwise
+
+        # S -= sum over same-source block pairs of (E Q) E^T.
+        same_k = (kidx[:, None] == kidx[None, :])
+        G = jnp.einsum("adp,bep->abde", Pq, Ecat)         # [2E, 2E, D, D]
+        G = G * same_k[:, :, None, None]
+        pair_seg = (pidx[:, None] * N + pidx[None, :]).reshape(-1)
+        S_blocks = jax.ops.segment_sum(
+            G.reshape(-1, D, D), pair_seg, num_segments=N * N
+        ).reshape(N, N, D, D)
+        S = Hmat - S_blocks.transpose(0, 2, 1, 3).reshape(N * D, N * D)
+
+        # rhs -= (E Q) w, blockwise then scattered per pose.
+        rhs_blocks = jnp.einsum("adp,ap->ad", Pq, wvec[kidx])
+        rhs = vvec - jax.ops.segment_sum(
+            rhs_blocks, pidx, num_segments=N).reshape(N * D)
+
         dx = _solve_psd(S, rhs)
-        dz = Q * (wvec.reshape(N * HW) - Emat.T @ dx)
+
+        # dz = Q (w - E^T dx): back-substitute blockwise per source frame.
+        Etdx = jnp.einsum("adp,ad->ap", Ecat, dx.reshape(N, D)[pidx])
+        Etdx = jax.ops.segment_sum(Etdx, kidx, num_segments=N)  # [N, HW]
+        dz = ((wvec - Etdx) / C).reshape(N * HW)
 
         dx = dx.reshape(N, D) * opt_pose[:, None]
         new_poses = _retract_poses(poses, dx, opt_pose)

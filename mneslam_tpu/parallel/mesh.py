@@ -28,11 +28,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_agents: int, devices=None) -> Mesh:
-    """(agent x ray) mesh over the available devices."""
+    """(agent x ray) mesh over the available devices.
+
+    When the device count is not divisible into ``n_agents`` slices the mesh
+    degrades gracefully: the agent axis clamps to the largest divisor of the
+    device count ≤ n_agents (worst case 1 — all agents share one replicated
+    slice) rather than refusing to run. The caller can read the realized
+    slicing off ``mesh.shape``."""
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
-    if n_dev % n_agents != 0:
-        raise ValueError(f"{n_dev} devices not divisible into {n_agents} agent slices")
+    n_agents = max(1, min(int(n_agents), n_dev))
+    while n_dev % n_agents != 0:
+        n_agents -= 1
     return Mesh(np.asarray(devices).reshape(n_agents, n_dev // n_agents),
                 ("agent", "ray"))
 
