@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--output", default=None)
     ap.add_argument("--mode", choices=["slam", "mapping"], default=None)
     ap.add_argument("--file_comms", action="store_true")
+    ap.add_argument("--device_mesh", action="store_true",
+                    help="run agents as device-mesh slices: stacked map "
+                         "states, one sharded super-step per round, "
+                         "collective descriptor/checkpoint exchange "
+                         "(mapping mode)")
     ap.add_argument("--resume", default=None,
                     help="full-state checkpoint to restore before running")
     args = ap.parse_args(argv)
@@ -58,6 +63,19 @@ def main(argv=None):
             agent.load_full_state(path)
         agents.append(agent)
 
+    if args.device_mesh:
+        if agents[0].mode != "mapping":
+            raise SystemExit("--device_mesh currently drives mapping mode "
+                             "(SLAM-mode tracking stays per-agent)")
+        from .parallel.fleet import MeshAgentFleet
+
+        fleet = MeshAgentFleet(agents)
+        fleet.run_mapping_only()
+        results = [a.terminate() for a in agents]
+        for rank, r in enumerate(results):
+            print(f"agent {rank}: {r}")
+        return results
+
     if args.file_comms:
         out = os.path.join(agents[0].config["data"]["output"],
                            agents[0].config["data"]["exp_name"])
@@ -71,9 +89,9 @@ def main(argv=None):
         runner.run_mapping_only()
         results = [a.terminate() for a in agents]
     else:
-        results = [a.run_slam() for a in agents]
-        for a in agents:
-            a.collab.bound_based_fusion()
+        # interleaved multi-agent SLAM: agents advance together so
+        # cross-agent loop closure fires mid-run (multi_agents.py:44-49)
+        results = runner.run_slam()
 
     for rank, r in enumerate(results):
         print(f"agent {rank}: {r}")

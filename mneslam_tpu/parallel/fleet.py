@@ -1,0 +1,249 @@
+"""Mesh-sliced multi-agent execution: agents ARE device-mesh slices.
+
+This is the runner-level integration of `parallel/mesh.py` (SURVEY.md §5.8):
+instead of round-robining agents through per-agent jitted calls with host
+exchange (`agents/runner.py`), the per-agent map states are STACKED on the
+mesh's `agent` axis and one sharded super-step maps every agent's keyframe
+concurrently — the TPU replacement for the reference's process-per-GPU
+concurrency (`multi_agents.py:31-49`). Exchange rides the mesh instead of
+Manager lists / checkpoint files (`mp_slam/mapper.py:565-592,708-726`):
+
+  * descriptor DB     — agent-sharded [n_agents, cap, D] device array,
+                        replicated on demand by a real `lax.all_gather`;
+  * map checkpoints   — the live stacked params; a peer's map is a
+                        cross-slice fetch (`fetch_agent_slice`), never a
+                        host copy;
+  * keyframe poses    — host metadata (tiny; the reference ships these as
+                        .npy files).
+
+Numerics match the sequential runner: the super-step is `vmap` of exactly
+`Mapper.add_keyframe` + `Mapper.optimize` with per-agent key streams
+mirroring `MNESLAM._map_keyframe` (tested in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.comms import Comms
+from ..agents.runner import AgentCollaboration
+from . import mesh as pmesh
+
+
+def tree_stack(trees):
+    """Stack a list of identically-shaped pytrees on a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def tree_index(tree, i: int):
+    """Lazy per-agent view of a stacked pytree (one slice per leaf)."""
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=())
+def _desc_write(db: jax.Array, rank, slot, vec: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(db, vec[None, None, :], (rank, slot, 0))
+
+
+@partial(jax.jit, donate_argnums=0)
+def _tree_set_slice(stacked, i, value):
+    return jax.tree.map(lambda s, v: jax.lax.dynamic_update_index_in_dim(
+        s, v.astype(s.dtype), i, axis=0), stacked, value)
+
+
+class MeshComms(Comms):
+    """Comms whose descriptor DB lives agent-sharded on the mesh and whose
+    "checkpoints" are the fleet's live stacked params (no copies)."""
+
+    def __init__(self, mesh, n_agents: int, desc_cap: int = 1024):
+        self.mesh = mesh
+        self.n_agents = n_agents
+        self.desc_cap = desc_cap
+        self._db: Optional[jax.Array] = None      # [n_agents, cap, D]
+        self._kf_ids: List[List[int]] = [[] for _ in range(n_agents)]
+        self._kf: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._ckpt_meta: Dict[int, Dict] = {}
+        self.fleet: Optional["MeshAgentFleet"] = None  # set by the fleet
+
+    def add_descriptor(self, entry: Dict) -> None:
+        vec = jnp.asarray(entry["descriptor"], jnp.float32).reshape(-1)
+        if self._db is None:
+            self._db = pmesh.shard_agent_stack(
+                jnp.zeros((self.n_agents, self.desc_cap, vec.shape[0])), self.mesh)
+        r = int(entry["agent_id"])
+        slot = len(self._kf_ids[r])
+        if slot >= self.desc_cap:
+            raise RuntimeError(f"descriptor DB full for agent {r} "
+                               f"(cap {self.desc_cap})")
+        self._db = _desc_write(self._db, jnp.asarray(r), jnp.asarray(slot), vec)
+        self._kf_ids[r].append(int(entry["kf_id"]))
+
+    def descriptors(self) -> List[Dict]:
+        if self._db is None:
+            return []
+        full = np.asarray(pmesh.all_gather_descriptors(self._db, self.mesh))
+        out = []
+        for r in range(self.n_agents):
+            for i, kf in enumerate(self._kf_ids[r]):
+                out.append({"descriptor": full[r, i], "kf_id": kf, "agent_id": r})
+        return out
+
+    def publish_keyframes(self, rank, poses, timestamps):
+        self._kf[rank] = (np.asarray(poses).copy(), np.asarray(timestamps).copy())
+
+    def get_keyframes(self, rank):
+        return self._kf.get(rank)
+
+    def publish_checkpoint(self, rank, params, meta):
+        # params already live in the fleet's stacked state — only the
+        # metadata (bounds) needs recording
+        self._ckpt_meta[rank] = dict(meta)
+
+    def get_checkpoint(self, rank):
+        if self.fleet is None or rank not in self._ckpt_meta:
+            return None
+        params = pmesh.fetch_agent_slice(self.fleet.state.params, rank)
+        return params, self._ckpt_meta[rank]
+
+
+def make_fleet_super_step(mapper):
+    """One sharded program mapping every agent's pending keyframe: vmapped
+    `add_keyframe` + `optimize` over the stacked state (agent axis). An
+    agent with valid=False keeps its state unchanged (ragged datasets)."""
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def step(state, frame_ids, frames, poses, k1s, k2s, valids, iters):
+        def one(st, fid, frame, pose, k1, k2, valid):
+            st1 = mapper.add_keyframe(st, fid, frame, pose, k1)
+            st2, metrics = mapper.optimize(st1, frame, pose, k2, iters=iters)
+            st_out = jax.tree.map(lambda a, b: jnp.where(valid, a, b), st2, st)
+            return st_out, metrics
+
+        return jax.vmap(one)(state, frame_ids, frames, poses, k1s, k2s, valids)
+
+    return step
+
+
+class MeshAgentFleet:
+    """Multi-agent mapping runner where the per-agent map states are one
+    sharded stack and every round's keyframe optimization is ONE pjit call
+    over the whole mesh. Requires all agents to share scene/mapper shapes
+    (same bound/resolution config — per-agent `loop_bound` sub-bounds still
+    apply to fusion logic, which is host-side)."""
+
+    def __init__(self, agents: List, mesh=None, descriptor_fn=None,
+                 comms: Optional[MeshComms] = None):
+        self.agents = agents
+        n = len(agents)
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(n)
+        self.mapper = agents[0].mapper
+        shapes = [jax.tree.map(jnp.shape, a.map_state) for a in agents]
+        if any(s != shapes[0] for s in shapes[1:]):
+            raise ValueError("mesh fleet requires identical map-state shapes "
+                             "across agents (shared bound/resolution config)")
+        self.state = pmesh.shard_agent_stack(
+            tree_stack([a.map_state for a in agents]), self.mesh)
+        self.comms = comms or MeshComms(self.mesh, n)
+        self.comms.fleet = self
+        self.collabs = [
+            AgentCollaboration(a, self.comms, descriptor_fn=descriptor_fn)
+            for a in agents
+        ]
+        for a, c in zip(agents, self.collabs):
+            a.collab = c
+        self._super_step = make_fleet_super_step(self.mapper)
+
+    # ------------------------------------------------------------------
+
+    def _sync_agent_views(self):
+        """Point each agent's map_state at its slice of the stacked state
+        (consumed by collab hooks: publish, render alignment, meshing)."""
+        for i, a in enumerate(self.agents):
+            a.map_state = tree_index(self.state, i)
+
+    def _writeback(self, i: int, map_state):
+        """An agent-local update (e.g. distillation) back into the stack."""
+        self.state = _tree_set_slice(self.state, jnp.asarray(i), map_state)
+
+    # ------------------------------------------------------------------
+
+    def run_mapping_only(self):
+        """Mapping-only multi-agent run (BASELINE config #1 shape): every
+        round, all agents' pending keyframes are optimized in ONE sharded
+        super-step; publication/loop hooks run host-side per agent after
+        the step (reference flow: mp_slam/mapper.py:164-258)."""
+        agents = self.agents
+        max_len = max(len(a.dataset) for a in agents)
+        every = int(agents[0].config["mapping"]["keyframe_every"])
+
+        for idx in range(0, max_len, every):
+            valids = [idx < len(a.dataset) for a in agents]
+            if not any(valids):
+                continue
+            firsts = [not a.first_frame_mapped for a in agents]
+            if any(firsts) and not all(f or not v for f, v in zip(firsts, valids)):
+                raise RuntimeError("mesh fleet requires agents to bootstrap "
+                                   "in the same round")
+            first = any(f and v for f, v in zip(firsts, valids))
+            iters = int(agents[0].config["mapping"]
+                        ["first_iters" if first else "iters"])
+
+            frames, poses, k1s, k2s = [], [], [], []
+            for a, v in zip(agents, valids):
+                frame, pose = a._frame_for_mapping(idx if v else 0)
+                frames.append(frame)
+                poses.append(pose)
+                if not v:
+                    k1s.append(jax.random.PRNGKey(0))
+                    k2s.append(jax.random.PRNGKey(0))
+                elif first:
+                    # first_frame_mapping splits one key (slam.py parity)
+                    k1, k2 = jax.random.split(a._next_key())
+                    k1s.append(k1)
+                    k2s.append(k2)
+                else:
+                    k1s.append(a._next_key())
+                    k2s.append(a._next_key())
+
+            self.state, metrics = self._super_step(
+                self.state,
+                jnp.asarray([idx] * len(agents)),
+                tree_stack(frames), tree_stack(poses),
+                jnp.stack(k1s), jnp.stack(k2s),
+                jnp.asarray(valids),
+                iters=iters,
+            )
+            # keep the stack pinned to the agent sharding (jit output
+            # shardings are propagation-chosen otherwise)
+            self.state = pmesh.shard_agent_stack(self.state, self.mesh)
+
+            self._sync_agent_views()
+            for i, (a, v) in enumerate(zip(agents, valids)):
+                if not v:
+                    continue
+                a.first_frame_mapped = True
+                a.mapped_timestamps.append(float(idx))
+                a.metrics_log.append(
+                    {k: float(m[i]) for k, m in metrics.items()})
+                # publish + loop detect + closure (mapper.py:224-229)
+                n_kf = min(len(a.mapped_timestamps), a.map_state.kf_poses.shape[0])
+                kf_ts = np.asarray(a.mapped_timestamps[:n_kf], float)
+                kf_poses = np.asarray(a.map_state.kf_poses[:n_kf])
+                a.collab.on_keyframe_mapped(
+                    idx, a.dataset[idx]["rgb"], np.asarray(poses[i]),
+                    kf_poses, kf_ts)
+
+        # final fusion pass (mapper.py final_run:260-264); distillation
+        # updates are written back into the stack
+        for i, a in enumerate(self.agents):
+            before = a.map_state
+            a.collab.bound_based_fusion()
+            if a.map_state is not before:
+                self._writeback(i, a.map_state)
+                self._sync_agent_views()
+        return [a.metrics_log for a in self.agents]

@@ -88,23 +88,35 @@ def make_multi_agent_train_step(scene, optimizer: optax.GradientTransformation):
     return step
 
 
-@jax.jit
-def all_gather_descriptors(local: jax.Array) -> jax.Array:
+def all_gather_descriptors(local: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     """Descriptor DB exchange: [n_agents, K, D] stack sharded over `agent`
-    -> fully replicated copy on every slice (XLA inserts the all-gather).
+    -> fully replicated copy on every slice, via an explicit
+    `lax.all_gather` over the agent axis (each slice contributes its own
+    block across ICI).
 
     The collective analogue of the reference's Manager-list descriptor DB
     (`multi_agents.py:31-35`)."""
-    return jax.lax.with_sharding_constraint(
-        local, NamedSharding(local.sharding.mesh, P())
-    ) if hasattr(local, "sharding") and hasattr(local.sharding, "mesh") else local
+    if mesh is None:
+        mesh = getattr(getattr(local, "sharding", None), "mesh", None)
+    if not isinstance(mesh, Mesh):
+        return local  # unsharded input: nothing to exchange
+
+    # out is replicated over `agent` after the all_gather; the varying-axes
+    # checker can't infer that, so it is disabled (check_vma/check_rep)
+    gather = jax.shard_map(
+        lambda x: jax.lax.all_gather(x, "agent", axis=0, tiled=True),
+        mesh=mesh, in_specs=P("agent"), out_specs=P(), check_vma=False,
+    )
+    return jax.jit(gather)(local)
 
 
 def fetch_agent_slice(stacked, rank: int):
-    """Fetch one agent's pytree from the sharded stack (collective gather) —
-    the ICI replacement for reading a peer's latest_checkpoint file
-    (`mp_slam/mapper.py:708-726`)."""
-    return jax.tree.map(lambda x: jax.device_get(x[rank]), stacked)
+    """Fetch one agent's pytree from the sharded stack — the ICI
+    replacement for reading a peer's latest_checkpoint file
+    (`mp_slam/mapper.py:708-726`). XLA materializes the cross-slice
+    transfer; the result stays on device for the consumer (loop-closure
+    rendering / distillation)."""
+    return jax.tree.map(lambda x: x[rank], stacked)
 
 
 def cosine_similarity_matrix(descs_a: jax.Array, descs_b: jax.Array) -> jax.Array:

@@ -1,0 +1,145 @@
+"""Mesh-fleet integration tests (8 virtual CPU devices).
+
+The VERDICT-r1 integration requirement: the device mesh actually drives
+multi-agent execution — per-agent map states stacked/sharded on the `agent`
+axis, ONE sharded super-step per round, descriptor exchange through a real
+all-gather, checkpoint fetch as a cross-slice read — and the result matches
+the sequential InMemoryComms runner numerically.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mneslam_tpu.config import make_config
+from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+from mneslam_tpu.parallel import mesh as pmesh
+from mneslam_tpu.parallel.fleet import MeshAgentFleet, MeshComms
+from mneslam_tpu.slam import MNESLAM
+
+
+def fleet_cfg(tmp_path, exp="fleet", loop=False):
+    return make_config({
+        "mode": "mapping",
+        "data": {"output": str(tmp_path), "exp_name": exp},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 256, "min_pixels_cur": 48, "first_iters": 30, "iters": 8,
+            "keyframe_every": 2, "loop_iters": 30, "distill_iters": 10,
+            "lr_rot": 0.01, "lr_trans": 0.01,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": 40, "W": 56, "fx": 35.0, "fy": 35.0, "cx": 27.5, "cy": 19.5,
+                "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48, "truncation": 0.15},
+        "loop_detection": {"enabled": loop, "sim_threshold": 0.9,
+                           "min_time_diff": 50, "loop_launch_th": 2,
+                           "min_matches_for_fusion": 1},
+        "loop_bound": {"bound_0": [[-2.2, 2.2]] * 3, "bound_1": [[-2.2, 2.2]] * 3},
+    })
+
+
+class Slice:
+    def __init__(self, ds, lo, hi):
+        self.ds, self.lo, self.n = ds, lo, hi - lo
+        self.num_rays_to_save = ds.num_rays_to_save
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        item = dict(self.ds[self.lo + i])
+        item["frame_id"] = i
+        return item
+
+
+def make_agents(cfg, tmp_path, exp):
+    ds = SyntheticBoxDataset(cfg, num_frames=16)
+    a0 = MNESLAM(copy.deepcopy(cfg), Slice(ds, 0, 10), rank=0, world_size=2)
+    a1 = MNESLAM(copy.deepcopy(cfg), Slice(ds, 6, 16), rank=1, world_size=2)
+    return [a0, a1]
+
+
+@pytest.mark.slow
+def test_fleet_matches_sequential_runner(tmp_path):
+    """2-agent mesh-fleet mapping == sequential InMemoryComms runner,
+    numerically (same keys, same per-agent programs, vmapped + sharded)."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+
+    assert len(jax.devices()) >= 2
+    cfg = fleet_cfg(tmp_path, "seq", loop=False)
+
+    seq_agents = make_agents(cfg, tmp_path, "seq")
+    runner = MultiAgentRunner(seq_agents)
+    seq_metrics = runner.run_mapping_only()
+
+    mesh_agents = make_agents(fleet_cfg(tmp_path, "mesh", loop=False),
+                              tmp_path, "mesh")
+    fleet = MeshAgentFleet(mesh_agents)
+    assert fleet.mesh.shape["agent"] == 2
+    fleet_metrics = fleet.run_mapping_only()
+
+    # identical keyframe schedule and near-identical optimization results
+    for seq_log, fl_log in zip(seq_metrics, fleet_metrics):
+        assert len(seq_log) == len(fl_log)
+        for ms, mf in zip(seq_log, fl_log):
+            assert abs(ms["loss"] - mf["loss"]) < 5e-3, (ms, mf)
+
+    for a_seq, a_mesh in zip(seq_agents, mesh_agents):
+        for ls, lm in zip(jax.tree.leaves(a_seq.map_state.params),
+                          jax.tree.leaves(a_mesh.map_state.params)):
+            np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                                       atol=2e-4, rtol=1e-3)
+
+    # the fleet's stacked state is genuinely agent-sharded on the mesh
+    leaf = jax.tree.leaves(fleet.state.params)[0]
+    assert leaf.sharding.is_equivalent_to(
+        pmesh.agent_sharding(fleet.mesh), leaf.ndim), leaf.sharding
+
+
+@pytest.mark.slow
+def test_fleet_loop_closure_through_mesh_comms(tmp_path):
+    """Cross-agent loop detection + render alignment run entirely through
+    the mesh fabric: descriptors via all-gather, the foreign map via a
+    cross-slice parameter fetch (no checkpoint copies)."""
+    cfg = fleet_cfg(tmp_path, "fleetlc", loop=True)
+    agents = make_agents(cfg, tmp_path, "fleetlc")
+    fleet = MeshAgentFleet(agents)
+    fleet.run_mapping_only()
+
+    db = fleet.comms.descriptors()
+    assert {e["agent_id"] for e in db} == {0, 1}
+    assert len(db) == len(agents[0].mapped_timestamps) + \
+        len(agents[1].mapped_timestamps)
+
+    # checkpoint fetch returns the LIVE stacked params slice
+    params1, meta1 = fleet.comms.get_checkpoint(1)
+    for got, want in zip(jax.tree.leaves(params1),
+                         jax.tree.leaves(agents[1].map_state.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    assert "bound" in meta1
+
+    # overlapping segments on the same scene: at least one cross-agent
+    # match should have fired through the gathered DB
+    assert any(0 in c.fused_agents or 1 in c.fused_agents
+               for c in fleet.collabs), "no cross-agent loop fired"
+
+
+def test_mesh_comms_descriptor_roundtrip():
+    mesh = pmesh.make_mesh(2)
+    comms = MeshComms(mesh, n_agents=2, desc_cap=4)
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((3, 16)).astype(np.float32)
+    comms.add_descriptor({"descriptor": vecs[0], "kf_id": 0, "agent_id": 0})
+    comms.add_descriptor({"descriptor": vecs[1], "kf_id": 2, "agent_id": 1})
+    comms.add_descriptor({"descriptor": vecs[2], "kf_id": 4, "agent_id": 0})
+    db = comms.descriptors()
+    assert len(db) == 3
+    by_key = {(e["agent_id"], e["kf_id"]): e["descriptor"] for e in db}
+    np.testing.assert_allclose(by_key[(0, 0)], vecs[0], atol=1e-6)
+    np.testing.assert_allclose(by_key[(1, 2)], vecs[1], atol=1e-6)
+    np.testing.assert_allclose(by_key[(0, 4)], vecs[2], atol=1e-6)
