@@ -178,8 +178,13 @@ class AgentCollaboration:
         relative = jnp.asarray(base_c2w) @ jnp.linalg.inv(best_c2w)
 
         if target_is_self:
-            poses = (self.aligned_poses_c2w if self.aligned_poses_c2w is not None
-                     else jnp.asarray(kf_poses_c2w))
+            # each closure re-estimates the FULL inter-agent transform
+            # against the agent's own-world (tracker) pose, so it deforms
+            # the raw trajectory — never the previous aligned one, which
+            # would compound corrections across repeated closures (the
+            # reference's mapper.py:417-489 deforms its latest aligned
+            # poses, divergent under repeated loop hits)
+            poses = jnp.asarray(kf_poses_c2w)
             hits = np.nonzero(kf_timestamps[: len(poses)] == current_map_id)[0]
             loop_idx = int(hits[0]) if len(hits) else len(poses) - 1
             lc = cfg.get("loop_closure", {})
@@ -260,6 +265,21 @@ class AgentCollaboration:
             slam.map_state = slam.map_state._replace(params=params, opt_state=opt_state)
             print(f"[agent {slam.rank}] distilled from agent {other}: "
                   f"{len(expand)} kfs, final loss {float(loss):.4f}")
+            self._save_fused_mesh()
+
+    def _save_fused_mesh(self):
+        """Post-distillation fused mesh (mp_slam/mapper.py:644)."""
+        import os
+
+        from ..mapping.mesher import extract_mesh
+
+        slam = self.slam
+        path = os.path.join(slam.out_dir, "mesh", "fused_mesh.ply")
+        try:
+            extract_mesh(slam.scene, slam.map_state.params, slam.config,
+                         save_path=path)
+        except Exception as e:  # meshing must not kill the run
+            print(f"[agent {slam.rank}] fused meshing failed: {e}")
 
 
 class MultiAgentRunner:
@@ -292,3 +312,24 @@ class MultiAgentRunner:
         for a in self.agents:
             a.collab.bound_based_fusion()
         return [a.metrics_log for a in self.agents]
+
+    def run_slam(self):
+        """Online interleaved multi-agent SLAM.
+
+        The reference runs agents concurrently as OS processes
+        (`multi_agents.py:44-49`) so agent A can close loops against agent
+        B's map while both are mid-trajectory. Here that concurrency is a
+        deterministic round-robin: every live agent advances one
+        motion-filter batch (`MNESLAM.slam_step`) per round, so all agents
+        publish keyframes/descriptors at the same cadence and cross-agent
+        loop closures fire mid-run in either direction. Ends with the
+        one-time bound-overlap fusion (`mp_slam/mapper.py:260-264`) and
+        per-agent terminate (mesh + trajectory fill + ATE)."""
+        alive = [True] * len(self.agents)
+        while any(alive):
+            for i, a in enumerate(self.agents):
+                if alive[i]:
+                    alive[i] = a.slam_step()
+        for a in self.agents:
+            a.collab.bound_based_fusion()
+        return [a.terminate() for a in self.agents]

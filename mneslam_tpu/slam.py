@@ -106,6 +106,11 @@ class MNESLAM:
         self.metrics_log: list[Dict] = []
         self.collab = None  # set by MultiAgentRunner / AgentCollaboration
 
+        # slam_step cursor state (multi-agent interleaving advances agents
+        # one motion-filter batch at a time through slam_step)
+        self._frame_cursor = 0
+        self._last_global_ba = 0
+
     # ------------------------------------------------------------------
 
     def _next_key(self):
@@ -140,11 +145,21 @@ class MNESLAM:
             self.tracker.state, self.tracker.counter,
             first_gt=self.tracker.state.poses_gt[0],
         )
+        # NOTE: the agent's own map deliberately stays in its own tracker
+        # world. The reference feeds aligned_poses_c2w back into mapping
+        # (mapper.py:193-198), but each closure's relative transform is
+        # re-measured against the *unaligned* tracker pose, so re-applying
+        # it to already-deformed poses compounds the correction (divergent
+        # under repeated closures). Here the aligned trajectory is the
+        # exported estimate (publish/fusion/eval); the private map keeps a
+        # single consistent frame.
         for slot, ts in enumerate(self.mapped_timestamps):
             hits = np.nonzero(kf_ts == ts)[0]
             if len(hits):
+                # mapper slots are in mapping order; culling compacts the
+                # tracker buffer, so the timestamp match gives the tracker row
                 self.map_state = self.mapper.update_kf_pose(
-                    self.map_state, jnp.asarray(int(hits[0])), all_poses[int(hits[0])]
+                    self.map_state, jnp.asarray(slot), all_poses[int(hits[0])]
                 )
 
     # ------------------------------------------------------------------
@@ -227,6 +242,51 @@ class MNESLAM:
               f"{len(self.mapped_timestamps)} kfs in {elapsed:.1f}s")
         return self.metrics_log
 
+    def slam_step(self) -> bool:
+        """Advance SLAM by one motion-filter batch: track, map pending
+        keyframes, run periodic global BA. Returns False once the dataset
+        is exhausted. This is the unit of multi-agent interleaving — the
+        reference's per-agent OS processes (`multi_agents.py:44-49`) become
+        a deterministic round-robin over these steps, so agents progress
+        together and cross-agent loop closures can fire mid-run."""
+        n_frames = len(self.dataset)
+        if self._frame_cursor >= n_frames:
+            return False
+        batch = max(1, int(self.config["tracking"]["motion_filter"].get("batch", 1)))
+        start = self._frame_cursor
+        idxs = list(range(start, min(start + batch, n_frames)))
+        self._frame_cursor = idxs[-1] + 1
+
+        items = [self.dataset[i] for i in idxs]
+        imgs = [self._to_tracking_res(it["rgb"]) for it in items]
+        deps = [self._depth_to_tracking_res(it["depth"]) for it in items]
+        gts = [jnp.asarray(it["c2w"]) for it in items]
+        with self.timers.stage("track_frame"):
+            if batch == 1:
+                self.tracker.run(float(idxs[0]), imgs[0], depth=deps[0],
+                                 gt_pose=gts[0])
+            else:
+                self.tracker.run_batch([float(i) for i in idxs], imgs,
+                                       deps, gts)
+
+        # map pending keyframes (stay >= 1 behind tracking —
+        # mp_slam/mapper.py:173-176's race guard, now deterministic)
+        warm = self.tracker.frontend.is_initialized
+        while warm and self.map_counter < self.tracker.counter - 1:
+            kf_idx = self.map_counter
+            ts = float(self.tracker.state.timestamps[kf_idx])
+            self._refresh_mapped_poses()
+            pose = self._tracked_pose_c2w(kf_idx)
+            self._map_keyframe(int(ts), pose, first=not self.first_frame_mapped)
+            self.map_counter += 1
+
+        # periodic global BA (the reference's BundleAdjustment thread)
+        if (self.tracker.counter - self._last_global_ba >= self.global_ba_every
+                and self.tracker.counter > self.config["tracking"]["frontend"]["window"]):
+            self.tracker.global_ba(steps=2)
+            self._last_global_ba = self.tracker.counter
+        return True
+
     def run_slam(self):
         """Full SLAM: batched tracking, lagged mapping, periodic global BA.
 
@@ -234,40 +294,8 @@ class MNESLAM:
         `tracking.motion_filter.batch` (admission semantics identical to
         per-frame; batching amortizes the per-dispatch readback latency of
         the device link — see motion_filter.track_batch)."""
-        last_global_ba = 0
-        batch = max(1, int(self.config["tracking"]["motion_filter"].get("batch", 1)))
-        n_frames = len(self.dataset)
-        for start in range(0, n_frames, batch):
-            idxs = list(range(start, min(start + batch, n_frames)))
-            items = [self.dataset[i] for i in idxs]
-            imgs = [self._to_tracking_res(it["rgb"]) for it in items]
-            deps = [self._depth_to_tracking_res(it["depth"]) for it in items]
-            gts = [jnp.asarray(it["c2w"]) for it in items]
-            with self.timers.stage("track_frame"):
-                if batch == 1:
-                    self.tracker.run(float(idxs[0]), imgs[0], depth=deps[0],
-                                     gt_pose=gts[0])
-                else:
-                    self.tracker.run_batch([float(i) for i in idxs], imgs,
-                                           deps, gts)
-
-            # map pending keyframes (stay >= 1 behind tracking —
-            # mp_slam/mapper.py:173-176's race guard, now deterministic)
-            warm = self.tracker.frontend.is_initialized
-            while warm and self.map_counter < self.tracker.counter - 1:
-                kf_idx = self.map_counter
-                ts = float(self.tracker.state.timestamps[kf_idx])
-                self._refresh_mapped_poses()
-                pose = self._tracked_pose_c2w(kf_idx)
-                self._map_keyframe(int(ts), pose, first=not self.first_frame_mapped)
-                self.map_counter += 1
-
-            # periodic global BA (the reference's BundleAdjustment thread)
-            if (self.tracker.counter - last_global_ba >= self.global_ba_every
-                    and self.tracker.counter > self.config["tracking"]["frontend"]["window"]):
-                self.tracker.global_ba(steps=2)
-                last_global_ba = self.tracker.counter
-
+        while self.slam_step():
+            pass
         return self.terminate()
 
     def _to_tracking_res(self, rgb: np.ndarray) -> jax.Array:
@@ -301,13 +329,17 @@ class MNESLAM:
     def terminate(self):
         """Final mesh + trajectory fill + ATE eval (mneslam_mp.py:632-737)."""
         results = {}
-        # final mesh
+        # final mesh + keyframe-frustum-culled variant (the reference's
+        # Mesher.get_mesh culled output, model/Mesher.py:92-157,217-297)
         mesh_path = os.path.join(self.out_dir, "mesh", "final_mesh.ply")
         try:
-            verts, faces, _ = extract_mesh(
+            verts, faces, colors = extract_mesh(
                 self.scene, self.map_state.params, self.config, save_path=mesh_path
             )
             results["mesh_verts"] = len(verts)
+            culled = self._save_culled_mesh(verts, faces, colors)
+            if culled is not None:
+                results["mesh_verts_culled"] = culled
         except Exception as e:  # meshing must not kill the eval
             print(f"[agent {self.rank}] meshing failed: {e}")
 
@@ -344,6 +376,29 @@ class MNESLAM:
 
         self.save_checkpoint(os.path.join(self.out_dir, "final_checkpoint.npz"))
         return results
+
+    def _save_culled_mesh(self, verts, faces, colors) -> Optional[int]:
+        """Frustum+occlusion-cull the final mesh against the mapped
+        keyframes (poses + observed depths) and save it alongside the raw
+        one (model/Mesher.py:92-157 behavior at terminate)."""
+        if len(verts) == 0 or not self.mapped_timestamps:
+            return None
+        from .mapping import cull
+        from .ops import mc
+
+        n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
+        kf_poses = np.asarray(self.map_state.kf_poses[:n])
+        depths = np.stack([np.asarray(self.dataset[int(t)]["depth"])
+                           for t in self.mapped_timestamps[:n]])
+        H, W = depths.shape[1:]
+        cam = self.config["cam"]
+        intr = np.asarray([cam["fx"], cam["fy"], cam["cx"], cam["cy"]], np.float32)
+        cverts, cfaces, ccolors = cull.cull_mesh(
+            verts, faces, kf_poses, intr, H, W, depths=depths, colors=colors)
+        path = os.path.join(self.out_dir, "mesh", "final_mesh_culled.ply")
+        if len(cverts):
+            mc.save_ply(path, cverts, cfaces, ccolors)
+        return len(cverts)
 
     # ------------------------------------------------------------------
 

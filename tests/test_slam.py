@@ -50,10 +50,15 @@ def test_mapping_only_pipeline(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
-    # terminate produces a mesh
+    # terminate produces the raw mesh AND the keyframe-frustum-culled one;
+    # the trajectory only sweeps part of the room, so culling must remove
+    # unobserved geometry (model/Mesher.py:92-157 behavior)
     res = slam.terminate()
     assert res.get("mesh_verts", 0) > 100
     assert os.path.exists(os.path.join(slam.out_dir, "mesh", "final_mesh.ply"))
+    assert os.path.exists(os.path.join(slam.out_dir, "mesh",
+                                       "final_mesh_culled.ply"))
+    assert 0 < res["mesh_verts_culled"] < res["mesh_verts"], res
 
 
 def test_trajectory_filler_oracle():

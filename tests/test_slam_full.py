@@ -148,9 +148,17 @@ def test_full_slam_with_culling_and_loop_ba(tmp_path):
 
 @pytest.mark.slow
 def test_two_agent_slam_with_loop_closure(tmp_path):
-    """Two SLAM-mode agents on overlapping trajectory segments: per-frame
-    tracking (oracle), lagged mapping, descriptor publication, inter-agent
-    loop detection, and render-based pose alignment all through run_slam."""
+    """Interleaved two-agent SLAM with a real mid-run cross-agent loop
+    closure (multi_agents.py:44-49 concurrency as a round-robin).
+
+    Agent 1's whole world frame is biased by a rigid transform (its dataset
+    poses, hence its oracle tracking and its map, are consistently offset);
+    agent 0 runs in the true frame on a later trajectory segment. When
+    agent 1 maps the overlap region, its descriptors match agent 0's
+    already-published keyframes, render-based alignment against agent 0's
+    map recovers the inter-agent transform, and the SLERP deformation pulls
+    agent 1's keyframe trajectory toward truth — the closure-disabled
+    control IS agent 1's undeformed (biased) keyframe poses."""
     from mneslam_tpu.agents.runner import MultiAgentRunner
 
     H, W = 64, 96
@@ -160,12 +168,12 @@ def test_two_agent_slam_with_loop_closure(tmp_path):
             "mode": "slam",
             "data": {"output": str(tmp_path), "exp_name": name},
             "mapping": {
-                "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
-                "sample": 192, "min_pixels_cur": 48, "first_iters": 40, "iters": 6,
-                "keyframe_every": 4, "global_ba_every": 1000, "loop_iters": 20,
-                "distill_iters": 10, "lr_rot": 0.01, "lr_trans": 0.01,
+                "bound": [[-2.4, 2.4]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+                "sample": 192, "min_pixels_cur": 48, "first_iters": 60, "iters": 8,
+                "keyframe_every": 4, "global_ba_every": 1000, "loop_iters": 60,
+                "distill_iters": 10, "lr_rot": 0.005, "lr_trans": 0.01,
             },
-            "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+            "planes_res": {"coarse": 0.48, "fine": 0.24, "bound_dividable": 0.24},
             "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
                     "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
             "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25, "trunc": 0.15},
@@ -173,55 +181,84 @@ def test_two_agent_slam_with_loop_closure(tmp_path):
             "meshing": {"resolution": 0.25},
             "tracking": {
                 "buffer": 32, "warmup": 4, "upsample": False,
-                "motion_filter": {"thresh": -1.0},
+                "motion_filter": {"thresh": -1.0, "batch": 4},
                 "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
                              "window": 8, "radius": 1, "max_factors": 24,
                              "nms": 0, "thresh": 25.0},
                 "backend": {"thresh": 25.0, "radius": 1, "nms": 1, "loop_window": 8,
                             "loop_thresh": 25.0, "loop_radius": 1, "loop_nms": 1},
             },
-            "loop_detection": {"enabled": True, "sim_threshold": 0.85,
+            "loop_detection": {"enabled": True, "sim_threshold": 0.9,
                                "min_time_diff": 50, "loop_launch_th": 2,
                                "min_matches_for_fusion": 1},
-            "loop_bound": {"bound_0": [[-2.2, 2.2]] * 3, "bound_1": [[-2.2, 2.2]] * 3},
+            "loop_bound": {"bound_0": [[-2.4, 2.4]] * 3, "bound_1": [[-2.4, 2.4]] * 3},
+            # near-full correction everywhere so the improvement assert is
+            # clean (decay profile itself is unit-tested in test_multiagent)
+            "loop_closure": {"pose_decay_sigma": 50.0, "pose_decay_min_weight": 0.8},
         })
 
     full = SyntheticBoxDataset(agent_cfg("x"), num_frames=20)
+    BIAS = np.eye(4, dtype=np.float32)
+    BIAS[0, 3] = 0.15
+    BIAS[1, 3] = -0.10
 
     class Slice:
-        def __init__(self, ds, lo, hi):
+        def __init__(self, ds, lo, hi, bias=None):
             self.ds, self.lo, self.n = ds, lo, hi - lo
+            self.bias = bias
             self.num_rays_to_save = ds.num_rays_to_save
         def __len__(self):
             return self.n
         def __getitem__(self, i):
             item = dict(self.ds[self.lo + i])
             item["frame_id"] = i
+            if self.bias is not None:
+                item["c2w"] = self.bias @ np.asarray(item["c2w"])
             return item
 
     intr8 = jnp.asarray([60.0 / 8, 60.0 / 8, 47.5 / 8, 31.5 / 8])
+    # agent 0 covers the LATER segment so that by the time agent 1 (which
+    # starts at frame 0) reaches the overlap, agent 0 has already published
+    # those viewpoints — the closure must fire on agent 1 (higher rank =
+    # deformation target) mid-run
+    slices = [Slice(full, 7, 20), Slice(full, 0, 13, bias=BIAS)]
     agents = []
-    for rank, (lo, hi) in enumerate([(0, 13), (7, 20)]):
-        sl = Slice(full, lo, hi)
+    for rank, sl in enumerate(slices):
         gt_table = gt_tracker_poses(sl)
         update_fn, agg_fn = make_oracle(gt_table, intr8)
         agents.append(MNESLAM(agent_cfg("ma_slam"), sl, rank=rank, world_size=2,
                               update_fn=update_fn, agg_fn=agg_fn))
 
     runner = MultiAgentRunner(agents)
-    for a in agents:
-        a.run_slam()
-    for a in agents:
-        a.collab.bound_based_fusion()
+    results = runner.run_slam()
 
-    # both agents tracked, mapped, and published
+    # both agents tracked, mapped, published; descriptors exchanged
     for a in agents:
         assert a.tracker.counter >= 10
         assert a.map_counter >= 2
         assert runner.comms.get_keyframes(a.rank) is not None
-    # descriptors were exchanged; overlapping views across agents exist
     db = runner.comms.descriptors()
     assert {e["agent_id"] for e in db} == {0, 1}
+    assert len(results) == 2
+
+    # a cross-agent loop closure fired mid-run on the target agent
+    a1 = agents[1]
+    assert 0 in a1.collab.fused_agents, "agent 1 never matched agent 0"
+    aligned = a1.collab.aligned_poses_c2w
+    assert aligned is not None, "cross-agent loop closure never deformed agent 1"
+
+    # ... and the deformation pulled agent 1's keyframes toward truth:
+    # control = the biased (undeformed) poses agent 1 mapped with
+    n = len(aligned)
+    true_pos = np.stack([np.asarray(full[int(ts)]["c2w"])[:3, 3]
+                         for ts in a1.mapped_timestamps[:n]])
+    biased_pos = np.stack([BIAS[:3, :3] @ p + BIAS[:3, 3] for p in true_pos])
+    aligned_pos = np.asarray(aligned)[:, :3, 3]
+    err_control = np.linalg.norm(biased_pos - true_pos, axis=1).mean()
+    err_aligned = np.linalg.norm(aligned_pos - true_pos, axis=1).mean()
+    assert err_aligned < 0.6 * err_control, (
+        f"closure did not improve keyframe poses: "
+        f"{err_control:.4f} -> {err_aligned:.4f} m")
 
 
 @pytest.mark.slow
