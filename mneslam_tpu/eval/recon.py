@@ -49,14 +49,57 @@ def completion(gt: np.ndarray, rec: np.ndarray) -> float:
     return float(np.mean(d))
 
 
+def icp_align(
+    src: np.ndarray, dst: np.ndarray,
+    threshold: float = 0.1,
+    max_iters: int = 50,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """Rigid point-to-point ICP: the [4, 4] transform taking `src` onto
+    `dst` (identity init, correspondence cutoff `threshold` — the
+    open3d `registration_icp` call in eval_recon.py:52-70)."""
+    T = np.eye(4)
+    cur = src.copy()
+    tree = cKDTree(dst)
+    prev_err = np.inf
+    for _ in range(max_iters):
+        d, idx = tree.query(cur, k=1)
+        mask = d < threshold
+        if mask.sum() < 3:
+            break
+        p, q = cur[mask], dst[idx[mask]]
+        mu_p, mu_q = p.mean(0), q.mean(0)
+        H = (p - mu_p).T @ (q - mu_q)
+        U, _, Vt = np.linalg.svd(H)
+        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+        R = Vt.T @ S @ U.T
+        t = mu_q - R @ mu_p
+        step = np.eye(4)
+        step[:3, :3], step[:3, 3] = R, t
+        T = step @ T
+        cur = cur @ R.T + t
+        err = float(d[mask].mean())
+        if abs(prev_err - err) < tol:
+            break
+        prev_err = err
+    return T
+
+
 def eval_mesh(
     rec_verts: np.ndarray, rec_faces: np.ndarray,
     gt_verts: np.ndarray, gt_faces: np.ndarray,
     n_samples: int = 200_000,
     dist_th: float = 0.05,
+    align: bool = False,
+    icp_threshold: float = 0.1,
 ) -> Dict[str, float]:
-    """Full reconstruction metric suite (eval_recon.py:103-157)."""
+    """Full reconstruction metric suite (eval_recon.py:103-157). With
+    `align=True` the reconstruction is first rigidly ICP-registered onto
+    the GT mesh (eval_recon.py:131-134)."""
     rng = np.random.default_rng(0)
+    if align and len(rec_verts) and len(gt_verts):
+        T = icp_align(rec_verts, gt_verts, threshold=icp_threshold)
+        rec_verts = rec_verts @ T[:3, :3].T + T[:3, 3]
     rec_pts = sample_surface(rec_verts, rec_faces, n_samples, rng)
     gt_pts = sample_surface(gt_verts, gt_faces, n_samples, rng)
     return {

@@ -134,7 +134,20 @@ def test_repo_configs_load():
 
     from mneslam_tpu.config import default_config, deep_update, load_config
 
-    for path in glob.glob("configs/**/*.yaml", recursive=True):
+    paths = glob.glob("configs/**/*.yaml", recursive=True)
+    # full per-scene tree: all Replica rooms/offices + apartment splits,
+    # 8 ScanNet scenes, Indoor 4-agent overlays, Outdoor (reference
+    # configs/**, ~45 files)
+    assert len(paths) >= 45, sorted(paths)
+    for path in paths:
         cfg = deep_update(default_config(), load_config(path))
         assert "cam" in cfg and "mapping" in cfg, path
         assert cfg["tracking"]["buffer"] > 0, path
+        bound = np.asarray(cfg["mapping"]["bound"], float)
+        mc = np.asarray(cfg["mapping"]["marching_cubes_bound"], float)
+        assert bound.shape == (3, 2) and mc.shape == (3, 2), path
+        assert (bound[:, 1] > bound[:, 0]).all(), path
+        if "_agent" in path:
+            assert int(cfg["end_index"]) > int(cfg["start_index"]) >= 0, path
+        for key, b in (cfg.get("loop_bound") or {}).items():
+            assert np.asarray(b, float).shape == (3, 2), (path, key)

@@ -76,6 +76,35 @@ def test_recon_metrics_identical_and_offset():
     assert m_off["completion_ratio_pct"] < 50.0
 
 
+def test_recon_icp_alignment_recovers_rigid_offset():
+    """A rigidly-misaligned reconstruction recovers its metrics with
+    align=True (the reference's ICP pre-step, eval_recon.py:103-157).
+    A non-symmetric two-sphere scene pins the rotation."""
+    v1, f1 = sphere_mesh(0.6)
+    v2, f2 = sphere_mesh(0.35)
+    v2 = v2 + np.asarray([0.9, 0.0, 0.0], np.float32)
+    v = np.concatenate([v1, v2])
+    f = np.concatenate([f1, f2 + len(v1)])
+
+    ang = 0.06
+    R = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0],
+                    [0, 0, 1]], np.float32)
+    t = np.asarray([0.05, -0.04, 0.03], np.float32)
+    v_mis = v @ R.T + t
+
+    m_mis = recon.eval_mesh(v_mis, f, v, f, n_samples=20000)
+    m_ali = recon.eval_mesh(v_mis, f, v, f, n_samples=20000, align=True)
+    assert m_mis["accuracy_cm"] > 3.0
+    assert m_ali["accuracy_cm"] < 0.5 * m_mis["accuracy_cm"]
+    assert m_ali["completion_ratio_pct"] > 95.0
+
+    # the estimated transform inverts the misalignment
+    T = recon.icp_align(v_mis, v)
+    got = v_mis @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(got - v).max() < 0.02
+
+
 def test_depth_l1():
     gt = np.ones((10, 10))
     rend = np.ones((10, 10)) * 1.03

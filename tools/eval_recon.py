@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--cull", default=None, help="keyframe c2w .npy for frustum culling")
     ap.add_argument("--intr", default=None, help="fx,fy,cx,cy")
     ap.add_argument("--hw", default=None, help="H,W")
+    ap.add_argument("--align", action="store_true",
+                    help="rigid ICP registration onto GT before metrics "
+                         "(reference eval_recon.py:131-134)")
+    ap.add_argument("--icp_threshold", type=float, default=0.1)
     args = ap.parse_args()
 
     rec_v, rec_f, _ = mc.load_ply(args.rec)
@@ -40,7 +44,8 @@ def main():
         print(f"culled mesh: {len(rec_v)} verts, {len(rec_f)} faces")
 
     m = recon.eval_mesh(rec_v, rec_f, gt_v, gt_f, n_samples=args.n,
-                        dist_th=args.dist_th)
+                        dist_th=args.dist_th, align=args.align,
+                        icp_threshold=args.icp_threshold)
     for k, v in m.items():
         print(f"{k}: {v:.3f}")
 
