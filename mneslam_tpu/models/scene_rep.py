@@ -28,21 +28,40 @@ from . import decoder as decoder_lib
 
 import os
 
-# "packed" (default): one pack_corners row gather per point per plane.
+# "merged" (default): ONE row gather per point per plane ORIENTATION —
+#   the fine grid is snapped to nest the coarse one (fine = k*(coarse-1)+1
+#   nodes), the coarse level is exactly upsampled onto the fine grid inside
+#   the step, and both levels' pack_corners tables are fused into one
+#   [H*W, 8C] table. Bilinear-exact (interp.upsample_exact); halves the
+#   gather/scatter index count of the hot path.
+# "packed": one pack_corners row gather per point per plane (per level).
 # "rows": four per-corner row gathers (the pre-pack baseline).
-_PLANE_SAMPLER = os.environ.get("MNESLAM_PLANE_SAMPLER", "packed")
+_PLANE_SAMPLER = os.environ.get("MNESLAM_PLANE_SAMPLER", "merged")
 
 
-def _plane_shapes(bound: np.ndarray, resolutions, c_dim: int):
+def _plane_shapes(bound: np.ndarray, resolutions, c_dim: int,
+                  nested: bool = True):
     """Per-level (xy, xz, yz) plane shapes, mirroring the reference's
     resolution computation (scene_rep.py:104-109): n_axis = int(len/res),
     planes store [C, rows, cols] with rows/cols per the grid_sample pairing
-    (xy: [ny, nx], xz: [nz, nx], yz: [nz, ny])."""
+    (xy: [ny, nx], xz: [nz, nx], yz: [nz, ny]).
+
+    With `nested` (default), level-1 node counts snap to k*(n0-1)+1 where
+    k = round(res0/res1) >= 2, so fine cells evenly subdivide coarse cells
+    (at most one node off the reference's int(len/res)) — the precondition
+    for the fused "merged" sampler."""
     xyz_len = bound[:, 1] - bound[:, 0]
     shapes = []
-    for res in resolutions:
+    k = max(2, int(round(resolutions[0] / max(resolutions[1], 1e-9)))) \
+        if len(resolutions) == 2 else 0
+    for lvl, res in enumerate(resolutions):
         nx, ny, nz = (int(l / res) for l in xyz_len)
         nx, ny, nz = max(nx, 2), max(ny, 2), max(nz, 2)
+        if nested and lvl == 1:
+            c = shapes[0]
+            nx = k * (c["xy"][2] - 1) + 1
+            ny = k * (c["xy"][1] - 1) + 1
+            nz = k * (c["xz"][1] - 1) + 1
         shapes.append({
             "xy": (c_dim, ny, nx),
             "xz": (c_dim, nz, nx),
@@ -161,6 +180,8 @@ class SceneRep:
         tables (no gain). Set MNESLAM_PLANE_SAMPLER=rows for the plain
         4-gather path.
         """
+        if _PLANE_SAMPLER == "merged" and self._mergeable(planes):
+            return self._plane_features_merged(planes, p_nor)
         packed = _PLANE_SAMPLER != "rows"
         feats = []
         for lvl in range(len(planes["xy"])):
@@ -180,6 +201,39 @@ class SceneRep:
                 yz = interp.grid_sample_2d(planes["yz"][lvl], p_nor[:, [1, 2]])
             feats.append(xy + xz + yz)
         return jnp.concatenate(feats, axis=-1)
+
+    @staticmethod
+    def _mergeable(planes: Dict) -> bool:
+        """Two levels whose grids nest (fine = k*(coarse-1)+1 nodes)."""
+        if len(planes["xy"]) != 2:
+            return False
+        for name in ("xy", "xz", "yz"):
+            c, f = planes[name][0].shape, planes[name][1].shape
+            if (f[1] - 1) % (c[1] - 1) or (f[2] - 1) % (c[2] - 1):
+                return False
+            if (f[1] - 1) // (c[1] - 1) != (f[2] - 1) // (c[2] - 1):
+                return False
+        return True
+
+    def _plane_features_merged(self, planes: Dict, p_nor: jax.Array) -> jax.Array:
+        """Fused two-level sampling: the coarse plane is exactly upsampled
+        onto the (nested) fine grid, both levels' corner tables concatenate
+        channel-wise, and each point needs ONE [8C]-row gather per plane
+        orientation instead of two — bit-equal to the per-level path up to
+        fp rounding (upsample_exact), verified in tests/test_scene_rep.py.
+        Halves the hot path's gather (fwd) and scatter (bwd) index count;
+        the upsample/pack are dense, MXU/VPU-friendly ops."""
+        feats = None
+        for name, dims in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+            coarse, fine = planes[name][0], planes[name][1]
+            k = (fine.shape[1] - 1) // (coarse.shape[1] - 1)
+            up = interp.upsample_exact(coarse, k)
+            comb = jnp.concatenate([up, fine], axis=0)          # [2C, Hf, Wf]
+            g = interp.grid_sample_2d_packed(
+                interp.pack_corners(comb), comb.shape,
+                p_nor[:, list(dims)])                           # [N, 2C]
+            feats = g if feats is None else feats + g
+        return feats
 
     def query_color_sdf(self, params: Dict, pts: jax.Array) -> jax.Array:
         """World points [N, 3] -> raw [N, 4] (rgb logits, sdf)."""

@@ -112,6 +112,32 @@ def grid_sample_2d_packed(packed: jax.Array, shape, coords: jax.Array) -> jax.Ar
     )
 
 
+def upsample_exact(plane: jax.Array, k: int) -> jax.Array:
+    """Bilinear-exact k-times upsampling of a feature plane under
+    align_corners semantics: [C, H, W] -> [C, k(H-1)+1, k(W-1)+1].
+
+    Output node j along an axis sits at coarse coordinate j/k, so the
+    upsampled grid's nodes subdivide every coarse cell evenly. Bilinear
+    interpolation of the result is then EXACTLY bilinear interpolation of
+    the original plane (a bilinear function restricted to a nested sub-cell
+    is still bilinear and is determined by its corner values) — the basis
+    of the fused coarse+fine sampling path (one gather for both levels).
+    """
+    if k == 1:
+        return plane
+    C, H, W = plane.shape
+    w = (jnp.arange(k, dtype=plane.dtype) / k)[None, None, :, None]
+
+    rows = plane[:, :-1, None, :] * (1 - w) + plane[:, 1:, None, :] * w
+    rows = rows.reshape(C, k * (H - 1), W)
+    rows = jnp.concatenate([rows, plane[:, -1:, :]], axis=1)   # [C, k(H-1)+1, W]
+
+    wc = (jnp.arange(k, dtype=plane.dtype) / k)[None, None, None, :]
+    cols = rows[:, :, :-1, None] * (1 - wc) + rows[:, :, 1:, None] * wc
+    cols = cols.reshape(C, rows.shape[1], k * (W - 1))
+    return jnp.concatenate([cols, rows[:, :, -1:]], axis=2)
+
+
 def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     """Trilinear sample of a feature volume.
 

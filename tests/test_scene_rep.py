@@ -54,6 +54,59 @@ def test_packed_sampler_bitequal_and_grad():
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
+def test_upsample_exact_preserves_bilinear():
+    """interp.upsample_exact: sampling the k-times upsampled plane ==
+    sampling the original (align_corners bilinear is reproduced exactly on
+    a nested grid) — the correctness basis of the merged sampler."""
+    plane = jax.random.normal(jax.random.PRNGKey(6), (8, 9, 13))
+    coords = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(7), (400, 2), minval=-1.3, maxval=1.3),
+        jnp.asarray([[-1., -1.], [1., 1.], [0.1, -0.7]]),
+    ])
+    a = interp.grid_sample_2d(plane, coords)
+    for k in (2, 3, 4):
+        up = interp.upsample_exact(plane, k)
+        assert up.shape == (8, k * 8 + 1, k * 12 + 1)
+        b = interp.grid_sample_2d(up, coords)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+        # grid nodes of the original plane are preserved exactly
+        np.testing.assert_allclose(np.asarray(up[:, ::k, ::k]),
+                                   np.asarray(plane), atol=1e-7)
+
+
+def test_merged_sampler_matches_per_level():
+    """SceneRep._plane_features_merged == per-level packed sampling on a
+    nested two-level grid (values AND parameter gradients)."""
+    cfg = small_config()
+    scene = SceneRep(cfg)
+    params = scene.init_params(jax.random.PRNGKey(8))
+    planes = params["planes"]
+    assert scene._mergeable(planes), [p.shape for p in planes["xy"]]
+    pts = jax.random.uniform(jax.random.PRNGKey(9), (300, 3),
+                             minval=-2.4, maxval=2.4)
+    p_nor = scene._normalize(pts)
+
+    def per_level(pl):
+        feats = []
+        for lvl in range(2):
+            xy = interp.grid_sample_2d(pl["xy"][lvl], p_nor[:, [0, 1]])
+            xz = interp.grid_sample_2d(pl["xz"][lvl], p_nor[:, [0, 2]])
+            yz = interp.grid_sample_2d(pl["yz"][lvl], p_nor[:, [1, 2]])
+            feats.append(xy + xz + yz)
+        return jnp.concatenate(feats, axis=-1)
+
+    a = per_level(planes)
+    b = scene._plane_features_merged(planes, p_nor)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda pl: jnp.sum(jnp.sin(per_level(pl))))(planes)
+    gb = jax.grad(lambda pl: jnp.sum(jnp.sin(
+        scene._plane_features_merged(pl, p_nor))))(planes)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
 def test_grid_sample_3d_matches_scipy():
     key = jax.random.PRNGKey(2)
     vol = jax.random.normal(key, (2, 7, 9, 11))
