@@ -28,15 +28,17 @@ from . import decoder as decoder_lib
 
 import os
 
-# "merged" (default): ONE row gather per point per plane ORIENTATION —
-#   the fine grid is snapped to nest the coarse one (fine = k*(coarse-1)+1
-#   nodes), the coarse level is exactly upsampled onto the fine grid inside
-#   the step, and both levels' pack_corners tables are fused into one
-#   [H*W, 8C] table. Bilinear-exact (interp.upsample_exact); halves the
-#   gather/scatter index count of the hot path.
-# "packed": one pack_corners row gather per point per plane (per level).
-# "rows": four per-corner row gathers (the pre-pack baseline).
-_PLANE_SAMPLER = os.environ.get("MNESLAM_PLANE_SAMPLER", "merged")
+# "packed" (default): one pack_corners row gather per point per plane (per
+#   level) — fastest measured variant (16.5 ms/iter at Replica shapes).
+# "merged": ONE row gather per point per plane ORIENTATION — the nested
+#   fine grid lets the coarse level upsample bilinear-exactly onto it and
+#   both levels' corner tables fuse into one [H*W, 8C] table, halving the
+#   gather/scatter index count. MEASURED SLOWER on v5e (24.0 ms/iter): the
+#   per-iteration dense upsample+concat+pack traffic (~0.5 GB/orientation)
+#   outweighs the index savings. Kept (correct + tested) for hardware where
+#   gathers dominate harder.
+# "rows": four per-corner row gathers (the pre-pack baseline, 42.3 ms/iter).
+_PLANE_SAMPLER = os.environ.get("MNESLAM_PLANE_SAMPLER", "packed")
 
 
 def _plane_shapes(bound: np.ndarray, resolutions, c_dim: int,
