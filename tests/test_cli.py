@@ -60,3 +60,23 @@ loop_detection:
     assert (out_dir / "mesh" / "final_mesh.ply").exists()
     assert (out_dir / "metrics.jsonl").exists()
     assert (out_dir / "final_checkpoint.npz").exists()
+
+
+def test_vis_cameras_tool(tmp_path):
+    """Frustum/trajectory visualizer renders a PNG headlessly."""
+    import numpy as np
+
+    poses = np.tile(np.eye(4), (9, 1, 1))
+    poses[:, 0, 3] = np.linspace(0.0, 2.0, 9)
+    p = tmp_path / "poses.npy"
+    np.save(p, poses)
+    out = tmp_path / "cams.png"
+    env = dict(os.environ, PYTHONPATH=".", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/vis_cameras.py", "--poses", str(p),
+         "--gt", str(p), "--bound", "[[-1,3],[-1,1],[-1,1]]",
+         "--every", "2", "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert out.exists() and out.stat().st_size > 10_000
