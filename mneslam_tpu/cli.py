@@ -64,14 +64,16 @@ def main(argv=None):
         agents.append(agent)
 
     if args.device_mesh:
-        if agents[0].mode != "mapping":
-            raise SystemExit("--device_mesh currently drives mapping mode "
-                             "(SLAM-mode tracking stays per-agent)")
         from .parallel.fleet import MeshAgentFleet
 
         fleet = MeshAgentFleet(agents)
-        fleet.run_mapping_only()
-        results = [a.terminate() for a in agents]
+        if agents[0].mode == "mapping":
+            fleet.run_mapping_only()
+            results = [a.terminate() for a in agents]
+        else:
+            # SLAM on the mesh: per-agent tracking, one sharded mapping
+            # super-step per round (parallel/fleet.py run_slam)
+            results = fleet.run_slam()
         for rank, r in enumerate(results):
             print(f"agent {rank}: {r}")
         return results

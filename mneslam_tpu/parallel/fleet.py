@@ -238,12 +238,102 @@ class MeshAgentFleet:
                     idx, a.dataset[idx]["rgb"], np.asarray(poses[i]),
                     kf_poses, kf_ts)
 
-        # final fusion pass (mapper.py final_run:260-264); distillation
-        # updates are written back into the stack
+        self._final_fusion()
+        return [a.metrics_log for a in self.agents]
+
+    def run_slam(self):
+        """Full multi-agent SLAM on the mesh: tracking stays per-agent host
+        logic (its state is per-agent and cheap next to mapping), but every
+        round all agents' pending keyframes are optimized in ONE sharded
+        super-step — the flagship mode's dominant compute rides the mesh.
+        Round-robin interleave keeps cross-agent loop closure live mid-run
+        (multi_agents.py:44-49 semantics)."""
+        agents = self.agents
+        alive = [a.tracker is not None for a in agents]
+        while any(alive):
+            for i, a in enumerate(agents):
+                if alive[i]:
+                    alive[i] = a.track_step()
+            self._map_pending()
+            for a in agents:
+                a.maybe_global_ba()
+        self._map_pending()
+        self._final_fusion()
+        return [a.terminate() for a in agents]
+
+    def _map_pending(self):
+        """Map every agent's pending keyframes as sharded super-steps.
+        Agents bootstrapping (first keyframe, `first_iters`) and agents in
+        steady state (`iters`) run as two separately-shaped steps since the
+        iteration count is static per program."""
+        agents = self.agents
+        cfg0 = agents[0].config["mapping"]
+        while True:
+            pend = [a.pending_keyframe() for a in agents]
+            if not any(p is not None for p in pend):
+                return
+            # pending_keyframe refreshed tracker pose updates into the
+            # agent-local view's kf_poses — fold them back into the stack
+            for i, (a, p) in enumerate(zip(agents, pend)):
+                if p is not None:
+                    self.state = self.state._replace(
+                        kf_poses=self.state.kf_poses.at[i].set(
+                            a.map_state.kf_poses))
+            # one group per pass: bootstrapping agents (first_iters) first,
+            # then steady-state agents — iteration count is static per
+            # compiled step, and group membership must be a snapshot (an
+            # agent bootstrapped this pass must not also map in the other
+            # group off the same stale pending entry)
+            first_sel = [i for i, p in enumerate(pend) if p is not None
+                         and not agents[i].first_frame_mapped]
+            if first_sel:
+                sel, first_group = first_sel, True
+            else:
+                sel = [i for i, p in enumerate(pend) if p is not None]
+                first_group = False
+            iters = int(cfg0["first_iters" if first_group else "iters"])
+            valids = [i in sel for i in range(len(agents))]
+            frames, poses, fids, k1s, k2s = [], [], [], [], []
+            for i, a in enumerate(agents):
+                if valids[i]:
+                    _, frame_id, pose = pend[i]
+                    frame, _ = a._frame_for_mapping(frame_id)
+                    if first_group:
+                        k1, k2 = jax.random.split(a._next_key())
+                    else:
+                        k1, k2 = a._next_key(), a._next_key()
+                else:
+                    frame, pose = a._frame_for_mapping(0)
+                    frame_id = 0
+                    k1 = k2 = jax.random.PRNGKey(0)
+                frames.append(frame)
+                poses.append(pose)
+                fids.append(frame_id)
+                k1s.append(k1)
+                k2s.append(k2)
+
+            self.state, metrics = self._super_step(
+                self.state, jnp.asarray(fids),
+                tree_stack(frames), tree_stack(poses),
+                jnp.stack(k1s), jnp.stack(k2s), jnp.asarray(valids),
+                iters=iters,
+            )
+            self.state = pmesh.shard_agent_stack(self.state, self.mesh)
+            self._sync_agent_views()
+            for i in sel:
+                a = agents[i]
+                a.first_frame_mapped = True
+                a.map_counter += 1
+                a._post_map_bookkeeping(
+                    fids[i], np.asarray(poses[i]),
+                    {k: m[i] for k, m in metrics.items()})
+
+    def _final_fusion(self):
+        """Fusion pass (mapper.py final_run:260-264); distillation updates
+        are written back into the stack."""
         for i, a in enumerate(self.agents):
             before = a.map_state
             a.collab.bound_based_fusion()
             if a.map_state is not before:
                 self._writeback(i, a.map_state)
                 self._sync_agent_views()
-        return [a.metrics_log for a in self.agents]

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +184,14 @@ class MNESLAM:
                 self.map_state, frame, pose_c2w, self._next_key(),
                 iters=int(self.config["mapping"]["iters"]),
             )
+        self._post_map_bookkeeping(frame_idx, pose_c2w, metrics)
+        return metrics
+
+    def _post_map_bookkeeping(self, frame_idx: int, pose_c2w, metrics):
+        """Shared per-mapped-keyframe host work: logs, vis cadence, and the
+        multi-agent hooks (publish + loop detection + closure,
+        mp_slam/mapper.py:224-229). Used by both the sequential path and
+        the mesh fleet's sharded super-step."""
         self.mapped_timestamps.append(float(frame_idx))
         self.metrics_log.append({k: float(v) for k, v in metrics.items()})
         self.timers.log_scalars(frame_idx, self.metrics_log[-1])
@@ -192,8 +200,6 @@ class MNESLAM:
         if vis_every > 0 and (len(self.mapped_timestamps) - 1) % vis_every == 0:
             self._save_vis(frame_idx, pose_c2w)
 
-        # multi-agent hooks: publish + loop detection + loop closure
-        # (mp_slam/mapper.py:224-229)
         if self.collab is not None:
             n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
             kf_ts = np.asarray(self.mapped_timestamps[:n], float)
@@ -202,7 +208,6 @@ class MNESLAM:
                 frame_idx, self.dataset[frame_idx]["rgb"],
                 np.asarray(pose_c2w), kf_poses, kf_ts,
             )
-        return metrics
 
     def _save_vis(self, frame_idx: int, pose_c2w: jax.Array):
         """Per-keyframe render/residual panel (mneslam_mp.py:472-560)."""
@@ -242,13 +247,11 @@ class MNESLAM:
               f"{len(self.mapped_timestamps)} kfs in {elapsed:.1f}s")
         return self.metrics_log
 
-    def slam_step(self) -> bool:
-        """Advance SLAM by one motion-filter batch: track, map pending
-        keyframes, run periodic global BA. Returns False once the dataset
-        is exhausted. This is the unit of multi-agent interleaving — the
-        reference's per-agent OS processes (`multi_agents.py:44-49`) become
-        a deterministic round-robin over these steps, so agents progress
-        together and cross-agent loop closures can fire mid-run."""
+    def track_step(self) -> bool:
+        """Tracking-only advance by one motion-filter batch. Returns False
+        once the dataset is exhausted. Mapping of admitted keyframes is the
+        caller's job (`slam_step` maps them inline; the mesh fleet maps all
+        agents' pending keyframes in one sharded super-step)."""
         n_frames = len(self.dataset)
         if self._frame_cursor >= n_frames:
             return False
@@ -268,23 +271,48 @@ class MNESLAM:
             else:
                 self.tracker.run_batch([float(i) for i in idxs], imgs,
                                        deps, gts)
+        return True
 
-        # map pending keyframes (stay >= 1 behind tracking —
-        # mp_slam/mapper.py:173-176's race guard, now deterministic)
-        warm = self.tracker.frontend.is_initialized
-        while warm and self.map_counter < self.tracker.counter - 1:
-            kf_idx = self.map_counter
-            ts = float(self.tracker.state.timestamps[kf_idx])
-            self._refresh_mapped_poses()
-            pose = self._tracked_pose_c2w(kf_idx)
-            self._map_keyframe(int(ts), pose, first=not self.first_frame_mapped)
-            self.map_counter += 1
+    def pending_keyframe(self) -> Optional[Tuple[int, int, jax.Array]]:
+        """Next tracked-but-unmapped keyframe as (kf_slot, frame_id, pose),
+        or None — the mapper stays >= 1 keyframe behind tracking
+        (mp_slam/mapper.py:173-176's race guard, now deterministic)."""
+        if self.tracker is None or not self.tracker.frontend.is_initialized:
+            return None
+        if self.map_counter >= self.tracker.counter - 1:
+            return None
+        kf_idx = self.map_counter
+        ts = float(self.tracker.state.timestamps[kf_idx])
+        self._refresh_mapped_poses()
+        pose = self._tracked_pose_c2w(kf_idx)
+        return kf_idx, int(ts), pose
 
-        # periodic global BA (the reference's BundleAdjustment thread)
+    def maybe_global_ba(self):
+        """Periodic global BA (the reference's BundleAdjustment thread)."""
+        if self.tracker is None:
+            return
         if (self.tracker.counter - self._last_global_ba >= self.global_ba_every
                 and self.tracker.counter > self.config["tracking"]["frontend"]["window"]):
             self.tracker.global_ba(steps=2)
             self._last_global_ba = self.tracker.counter
+
+    def slam_step(self) -> bool:
+        """Advance SLAM by one motion-filter batch: track, map pending
+        keyframes, run periodic global BA. Returns False once the dataset
+        is exhausted. This is the unit of multi-agent interleaving — the
+        reference's per-agent OS processes (`multi_agents.py:44-49`) become
+        a deterministic round-robin over these steps, so agents progress
+        together and cross-agent loop closures can fire mid-run."""
+        if not self.track_step():
+            return False
+        while True:
+            pending = self.pending_keyframe()
+            if pending is None:
+                break
+            _, frame_id, pose = pending
+            self._map_keyframe(frame_id, pose, first=not self.first_frame_mapped)
+            self.map_counter += 1
+        self.maybe_global_ba()
         return True
 
     def run_slam(self):

@@ -129,6 +129,89 @@ def test_fleet_loop_closure_through_mesh_comms(tmp_path):
                for c in fleet.collabs), "no cross-agent loop fired"
 
 
+@pytest.mark.slow
+def test_fleet_slam_matches_sequential(tmp_path):
+    """Full SLAM through the mesh fleet (per-agent tracking + ONE sharded
+    mapping super-step per round) == the sequential interleaved runner,
+    numerically: same tracker trajectories, same mapping key streams, and
+    map params matching to float tolerance."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+    from tests.test_slam_full import gt_tracker_poses, make_oracle
+
+    H, W = 64, 96
+
+    def slam_cfg(exp):
+        return make_config({
+            "mode": "slam",
+            "data": {"output": str(tmp_path), "exp_name": exp},
+            "mapping": {
+                "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+                "sample": 128, "min_pixels_cur": 32, "first_iters": 20, "iters": 4,
+                "keyframe_every": 4, "global_ba_every": 1000,
+            },
+            "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+            "cam": {"H": H, "W": W, "fx": 60.0, "fy": 60.0, "cx": 47.5, "cy": 31.5,
+                    "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
+            "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25,
+                         "trunc": 0.15},
+            "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48,
+                      "truncation": 0.15},
+            "meshing": {"resolution": 0.3},
+            "tracking": {
+                "buffer": 24, "warmup": 4, "upsample": False,
+                "motion_filter": {"thresh": -1.0, "batch": 4},
+                "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
+                             "window": 8, "radius": 1, "max_factors": 24,
+                             "nms": 0, "thresh": 25.0},
+                "backend": {"thresh": 25.0, "radius": 1, "nms": 1,
+                            "loop_window": 8, "loop_thresh": 25.0,
+                            "loop_radius": 1, "loop_nms": 1},
+            },
+            "loop_detection": {"enabled": False},
+        })
+
+    intr8 = jnp.asarray([60.0 / 8, 60.0 / 8, 47.5 / 8, 31.5 / 8])
+
+    def build(exp):
+        cfg = slam_cfg(exp)
+        ds = SyntheticBoxDataset(cfg, num_frames=14)
+        agents = []
+        for rank, (lo, hi) in enumerate([(0, 10), (4, 14)]):
+            sl = Slice(ds, lo, hi)
+            gt_table = gt_tracker_poses(sl)
+            update_fn, agg_fn = make_oracle(gt_table, intr8)
+            agents.append(MNESLAM(copy.deepcopy(cfg), sl, rank=rank,
+                                  world_size=2, update_fn=update_fn,
+                                  agg_fn=agg_fn))
+        return agents
+
+    seq_agents = build("seqslam")
+    MultiAgentRunner(seq_agents)  # installs collab hooks
+    alive = [True, True]
+    while any(alive):
+        alive = [a.slam_step() if ok else False
+                 for a, ok in zip(seq_agents, alive)]
+
+    mesh_agents = build("meshslam")
+    fleet = MeshAgentFleet(mesh_agents)
+    al = [True, True]
+    while any(al):
+        al = [a.track_step() if ok else False
+              for a, ok in zip(mesh_agents, al)]
+        fleet._map_pending()
+        for a in mesh_agents:
+            a.maybe_global_ba()
+    fleet._map_pending()
+
+    for a_seq, a_mesh in zip(seq_agents, mesh_agents):
+        assert a_seq.tracker.counter == a_mesh.tracker.counter
+        assert a_seq.mapped_timestamps == a_mesh.mapped_timestamps
+        for ls, lm in zip(jax.tree.leaves(a_seq.map_state.params),
+                          jax.tree.leaves(a_mesh.map_state.params)):
+            np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                                       atol=3e-4, rtol=2e-3)
+
+
 def test_mesh_comms_descriptor_roundtrip():
     mesh = pmesh.make_mesh(2)
     comms = MeshComms(mesh, n_agents=2, desc_cap=4)
