@@ -5,7 +5,8 @@ mapping workload (2048+100 rays, 50 iters/kf, c_dim 32, 0.02m fine planes),
 60 keyframes. Reports PSNR / depth-L1 on held-out views, mesh accuracy vs
 the analytic box, and throughput.
 """
-import json, time
+import json, sys, time
+sys.path.insert(0, ".")
 import jax, jax.numpy as jnp, numpy as np
 from mneslam_tpu.config import make_config
 from mneslam_tpu.data.synthetic import SyntheticBoxDataset
