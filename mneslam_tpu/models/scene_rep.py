@@ -184,23 +184,18 @@ class SceneRep:
         """
         if _PLANE_SAMPLER == "merged" and self._mergeable(planes):
             return self._plane_features_merged(planes, p_nor)
-        packed = _PLANE_SAMPLER != "rows"
+        if _PLANE_SAMPLER == "rows":
+            sample = interp.grid_sample_2d
+        else:
+            # packed one-gather-per-point sampler with the manual VJP
+            # (ops/interp.sample_plane_packed) — the autodiff backward of
+            # the packed path was the mapping hot spot (prof_mapping9)
+            sample = interp.sample_plane_packed
         feats = []
         for lvl in range(len(planes["xy"])):
-            if packed:
-                xy = interp.grid_sample_2d_packed(
-                    interp.pack_corners(planes["xy"][lvl]),
-                    planes["xy"][lvl].shape, p_nor[:, [0, 1]])
-                xz = interp.grid_sample_2d_packed(
-                    interp.pack_corners(planes["xz"][lvl]),
-                    planes["xz"][lvl].shape, p_nor[:, [0, 2]])
-                yz = interp.grid_sample_2d_packed(
-                    interp.pack_corners(planes["yz"][lvl]),
-                    planes["yz"][lvl].shape, p_nor[:, [1, 2]])
-            else:
-                xy = interp.grid_sample_2d(planes["xy"][lvl], p_nor[:, [0, 1]])
-                xz = interp.grid_sample_2d(planes["xz"][lvl], p_nor[:, [0, 2]])
-                yz = interp.grid_sample_2d(planes["yz"][lvl], p_nor[:, [1, 2]])
+            xy = sample(planes["xy"][lvl], p_nor[:, [0, 1]])
+            xz = sample(planes["xz"][lvl], p_nor[:, [0, 2]])
+            yz = sample(planes["yz"][lvl], p_nor[:, [1, 2]])
             feats.append(xy + xz + yz)
         return jnp.concatenate(feats, axis=-1)
 

@@ -112,6 +112,112 @@ def grid_sample_2d_packed(packed: jax.Array, shape, coords: jax.Array) -> jax.Ar
     )
 
 
+def _unpack_corners_adjoint(d_packed: jax.Array, C: int, H: int, W: int) -> jax.Array:
+    """Adjoint of `pack_corners`: route the packed-table cotangent [H*W, 4C]
+    back to the plane [C, H, W]. Each plane texel received 4 copies in the
+    pack (as corner 00 of its own row, 01 of its left neighbor, 10 of the
+    row above, 11 of the upper-left), with border rows duplicating the last
+    column/row — the shifts below are the exact transpose of that."""
+    d = d_packed.reshape(H, W, 4 * C)
+    d00 = d[..., 0 * C:1 * C]
+    d01 = d[..., 1 * C:2 * C]
+    d10 = d[..., 2 * C:3 * C]
+    d11 = d[..., 3 * C:4 * C]
+
+    def shift_back_x(a):  # adjoint of concat([p[:, 1:], p[:, -1:]], axis=1)
+        main = jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+        return main.at[:, -1].add(a[:, -1])
+
+    def shift_back_y(a):  # adjoint of concat([p[1:], p[-1:]], axis=0)
+        main = jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+        return main.at[-1].add(a[-1])
+
+    out = d00 + shift_back_x(d01) + shift_back_y(d10 + shift_back_x(d11))
+    return jnp.transpose(out, (2, 0, 1))
+
+
+@jax.custom_vjp
+def sample_plane_packed(plane: jax.Array, coords: jax.Array) -> jax.Array:
+    """`pack_corners` + `grid_sample_2d_packed` as one differentiable op.
+
+    plane [C, H, W], coords [N, 2] in [-1, 1] -> [N, C], bit-identical to
+    `grid_sample_2d(plane, coords)`.
+
+    The custom VJP exists for the backward: XLA's autodiff of the packed
+    path re-packs the table, re-gathers the corners, and schedules the 6
+    per-plane scatter-adds poorly — the mapping super-step spent ~12 of
+    15 ms there (tools/prof_mapping9.py). The manual backward reuses the
+    forward-gathered corner rows for the coordinate gradient and emits
+    exactly one scatter-add (the corner cotangents, [N, 4C] rows) plus the
+    dense pack adjoint: 5.1 ms vs 7.6 ms isolated, 15.4 -> ~7 ms in the
+    full mapping step (tools/prof_scatter2.py; fused/bf16/sorted scatter
+    variants measured worse there).
+    """
+    out, _ = _sample_plane_fwd_impl(plane, coords)
+    return out
+
+
+def _sample_plane_fwd_impl(plane, coords):
+    C, H, W = plane.shape
+    x = jnp.clip((coords[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((coords[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(plane.dtype)
+    wy = (y - y0).astype(plane.dtype)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    idx = y0i * W + x0i
+
+    g = pack_corners(plane)[idx]                       # [N, 4C]
+    out = (
+        g[:, 0 * C:1 * C] * ((1 - wx) * (1 - wy))[:, None]
+        + g[:, 1 * C:2 * C] * (wx * (1 - wy))[:, None]
+        + g[:, 2 * C:3 * C] * ((1 - wx) * wy)[:, None]
+        + g[:, 3 * C:4 * C] * (wx * wy)[:, None]
+    )
+    return out, (g, wx, wy, idx)
+
+
+def _sample_plane_fwd(plane, coords):
+    out, (g, wx, wy, idx) = _sample_plane_fwd_impl(plane, coords)
+    # `plane` in the residuals is an alias (no copy) — only its shape/dtype
+    # are read in the backward
+    return out, (g, wx, wy, idx, coords, plane)
+
+
+def _sample_plane_bwd(res, dout):
+    g, wx, wy, idx, coords, plane = res
+    C, H, W = plane.shape
+    dout = dout.astype(plane.dtype)
+
+    # --- plane cotangent: one scatter of the 4 corner contributions ---
+    vals = jnp.concatenate([
+        dout * ((1 - wx) * (1 - wy))[:, None],
+        dout * (wx * (1 - wy))[:, None],
+        dout * ((1 - wx) * wy)[:, None],
+        dout * (wx * wy)[:, None],
+    ], axis=-1)                                        # [N, 4C]
+    d_packed = jnp.zeros((H * W, 4 * C), vals.dtype).at[idx].add(vals)
+    d_plane = _unpack_corners_adjoint(d_packed, C, H, W)
+
+    # --- coordinate cotangent (pose-render alignment differentiates
+    # through the sample positions) ---
+    g00, g01, g10, g11 = (g[:, i * C:(i + 1) * C] for i in range(4))
+    gx = (g01 - g00) * (1 - wy)[:, None] + (g11 - g10) * wy[:, None]
+    gy = (g10 - g00) * (1 - wx)[:, None] + (g11 - g01) * wx[:, None]
+    # clip passes gradient on [min, max] inclusive (jnp.clip VJP semantics)
+    mx = ((coords[:, 0] >= -1.0) & (coords[:, 0] <= 1.0)).astype(dout.dtype)
+    my = ((coords[:, 1] >= -1.0) & (coords[:, 1] <= 1.0)).astype(dout.dtype)
+    dx = jnp.sum(gx * dout, axis=-1) * (0.5 * (W - 1)) * mx
+    dy = jnp.sum(gy * dout, axis=-1) * (0.5 * (H - 1)) * my
+    d_coords = jnp.stack([dx, dy], axis=-1).astype(coords.dtype)
+    return d_plane, d_coords
+
+
+sample_plane_packed.defvjp(_sample_plane_fwd, _sample_plane_bwd)
+
+
 def upsample_exact(plane: jax.Array, k: int) -> jax.Array:
     """Bilinear-exact k-times upsampling of a feature plane under
     align_corners semantics: [C, H, W] -> [C, k(H-1)+1, k(W-1)+1].

@@ -54,6 +54,35 @@ def test_packed_sampler_bitequal_and_grad():
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
+def test_sample_plane_packed_custom_vjp():
+    """sample_plane_packed (manual-VJP mapping hot path) == grid_sample_2d:
+    values bit-for-bit, plane gradients AND coordinate gradients to float
+    tolerance (pose-render alignment differentiates through coords)."""
+    plane = jax.random.normal(jax.random.PRNGKey(4), (32, 37, 53))
+    coords = jax.random.uniform(jax.random.PRNGKey(5), (500, 2),
+                                minval=-1.3, maxval=1.3)
+    coords = jnp.concatenate([coords, jnp.asarray(
+        [[-1., -1.], [1., 1.], [1., -1.], [-1., 1.], [0., 1.], [1., 0.]])])
+
+    a = interp.grid_sample_2d(plane, coords)
+    b = interp.sample_plane_packed(plane, coords)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(fn, p, c):
+        return jnp.sum(jnp.sin(fn(p, c)) * jnp.cos(jnp.arange(32)))
+
+    ga_p, ga_c = jax.grad(lambda p, c: loss(interp.grid_sample_2d, p, c),
+                          argnums=(0, 1))(plane, coords)
+    gb_p, gb_c = jax.grad(lambda p, c: loss(interp.sample_plane_packed, p, c),
+                          argnums=(0, 1))(plane, coords)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(gb_p), atol=1e-5)
+    # coordinate gradients match everywhere except exact-boundary ties
+    # (|coord| == 1 is measure-zero; jnp.clip splits tie gradients)
+    no_tie = (np.abs(np.abs(np.asarray(coords)) - 1.0) > 1e-6)
+    np.testing.assert_allclose(np.asarray(ga_c)[no_tie],
+                               np.asarray(gb_c)[no_tie], atol=1e-4)
+
+
 def test_upsample_exact_preserves_bilinear():
     """interp.upsample_exact: sampling the k-times upsampled plane ==
     sampling the original (align_corners bilinear is reproduced exactly on
