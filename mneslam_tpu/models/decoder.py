@@ -37,6 +37,29 @@ def mlp_apply(weights: List[jax.Array], x: jax.Array) -> jax.Array:
     return x @ weights[-1]
 
 
+def mlp_apply_blocks(weights: List[jax.Array], xs: Sequence[jax.Array]) -> jax.Array:
+    """`mlp_apply(weights, concat(xs, -1))` without the concat.
+
+    TPU note: concatenating activations along the minor (lane) dimension
+    forces lane-offset relayouts of every [N, C] block in BOTH the forward
+    and the backward slice — measured ~11 ms per mapping step at 92k points
+    (tools/prof_mapping10.py). Splitting the first layer's weight by rows
+    (concat(xs) @ W == sum_i xs[i] @ W_i) keeps every block lane-aligned;
+    the row slices of the small [in, hidden] weight are free.
+    """
+    w0 = weights[0]
+    h, off = None, 0
+    for x in xs:
+        part = x @ w0[off:off + x.shape[-1]]
+        h = part if h is None else h + part
+        off += x.shape[-1]
+    assert off == w0.shape[0], (off, w0.shape)
+    h = jax.nn.relu(h) if len(weights) > 1 else h
+    for w in weights[1:-1]:
+        h = jax.nn.relu(h @ w)
+    return h @ weights[-1] if len(weights) > 1 else h
+
+
 def init_decoder(key, config) -> Dict[str, List[jax.Array]]:
     """Initialize {sdf, color} decoder params from the config surface.
 
@@ -63,21 +86,26 @@ def init_decoder(key, config) -> Dict[str, List[jax.Array]]:
 
 def decoder_apply(
     params: Dict[str, List[jax.Array]],
-    embed: jax.Array,
+    embed: jax.Array | Sequence[jax.Array],
     embed_pos: jax.Array,
-    embed_color: jax.Array | None = None,
+    embed_color: jax.Array | Sequence[jax.Array] | None = None,
 ) -> jax.Array:
     """(plane feat, pos enc[, color feat]) -> raw [N, 4] = (rgb logits, sdf).
 
     Mirrors ColorSDFNet_v2.forward / ColorSDFNet.forward
     (decoder.py:128-175): SDF net on [embed, embed_pos]; color net on
-    [embed_pos, (embed_color,) geo_feat].
+    [embed_pos, (embed_color,) geo_feat]. `embed`/`embed_color` may be a
+    sequence of per-level feature blocks — they feed the first layer as
+    block matmuls instead of a lane-dim concat (see mlp_apply_blocks).
     """
-    h = mlp_apply(params["sdf"], jnp.concatenate([embed, embed_pos], axis=-1))
+    embed = list(embed) if isinstance(embed, (list, tuple)) else [embed]
+    h = mlp_apply_blocks(params["sdf"], [*embed, embed_pos])
     sdf, geo_feat = h[..., :1], h[..., 1:]
     if embed_color is None:
-        color_in = jnp.concatenate([embed_pos, geo_feat], axis=-1)
+        color_blocks = [embed_pos, geo_feat]
     else:
-        color_in = jnp.concatenate([embed_pos, embed_color, geo_feat], axis=-1)
-    rgb = mlp_apply(params["color"], color_in)
+        emc = (list(embed_color) if isinstance(embed_color, (list, tuple))
+               else [embed_color])
+        color_blocks = [embed_pos, *emc, geo_feat]
+    rgb = mlp_apply_blocks(params["color"], color_blocks)
     return jnp.concatenate([rgb, sdf], axis=-1)

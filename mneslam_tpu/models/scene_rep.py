@@ -182,8 +182,19 @@ class SceneRep:
         tables (no gain). Set MNESLAM_PLANE_SAMPLER=rows for the plain
         4-gather path.
         """
+        return jnp.concatenate(self.plane_feature_blocks(planes, p_nor), axis=-1)
+
+    def plane_feature_blocks(self, planes: Dict, p_nor: jax.Array) -> list:
+        """Per-level feature blocks [N, C] (no lane-dim concat).
+
+        The mapping hot path feeds these straight into the decoder's
+        block-matmul first layer (decoder.mlp_apply_blocks): concatenating
+        [N, C] gather outputs along the minor/lane dimension costs ~11 ms
+        per step at 92k points in fwd+bwd relayouts (prof_mapping10)."""
         if _PLANE_SAMPLER == "merged" and self._mergeable(planes):
-            return self._plane_features_merged(planes, p_nor)
+            merged = self._plane_features_merged(planes, p_nor)
+            C = planes["xy"][0].shape[0]
+            return [merged[:, :C], merged[:, C:]]
         if _PLANE_SAMPLER == "rows":
             sample = interp.grid_sample_2d
         else:
@@ -197,7 +208,7 @@ class SceneRep:
             xz = sample(planes["xz"][lvl], p_nor[:, [0, 2]])
             yz = sample(planes["yz"][lvl], p_nor[:, [1, 2]])
             feats.append(xy + xz + yz)
-        return jnp.concatenate(feats, axis=-1)
+        return feats
 
     @staticmethod
     def _mergeable(planes: Dict) -> bool:
@@ -238,11 +249,11 @@ class SceneRep:
             params = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
             pts = pts.astype(self.compute_dtype)
         p_nor = self._normalize(pts)
-        embed = self.plane_features(params["planes"], p_nor)
-        embed_pos = self.pos_encode(self._normalize01(pts)).astype(embed.dtype)
+        embed = self.plane_feature_blocks(params["planes"], p_nor)
+        embed_pos = self.pos_encode(self._normalize01(pts)).astype(embed[0].dtype)
         embed_color = None
         if not self.one_grid:
-            embed_color = self.plane_features(params["c_planes"], p_nor)
+            embed_color = self.plane_feature_blocks(params["c_planes"], p_nor)
         raw = decoder_lib.decoder_apply(params["decoder"], embed, embed_pos, embed_color)
         return raw.astype(jnp.float32)
 
