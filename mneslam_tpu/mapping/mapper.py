@@ -19,6 +19,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data import rays as rays_lib
@@ -54,14 +55,40 @@ def make_optimizer(config) -> optax.GradientTransformation:
 
 
 class Mapper:
-    def __init__(self, config, scene: SceneRep, num_kf: int, rays_per_kf: int):
+    def __init__(self, config, scene: SceneRep, num_kf: int, rays_per_kf: int,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — when given, each
+        optimization iteration's ray batch is sharded over every mesh
+        device (both named axes) and the plane-gradient reduction rides the
+        ICI psum XLA inserts for the replicated params. This is the
+        multi-chip mapping-throughput path (BASELINE.md: the per-iteration
+        floor on one chip is the tri-plane scatter's random-RMW bandwidth;
+        sharding rays divides the scattered rows per device). The ray count
+        is padded up to the device count so the batch splits evenly
+        (min_pixels_cur is a lower bound in the reference too,
+        mapper.py:118-161)."""
         self.config = config
         self.scene = scene
         self.num_kf = num_kf
         self.rays_per_kf = rays_per_kf
         self.optimizer = make_optimizer(config)
+        self.mesh = mesh
         self.n_global = int(config["mapping"]["sample"])
         self.n_cur = int(config["mapping"]["min_pixels_cur"])
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            rup = lambda n: (n + n_dev - 1) // n_dev * n_dev
+            self.n_global, self.n_cur = rup(self.n_global), rup(self.n_cur)
+
+    def _shard_rays(self, *arrays):
+        """Pin per-iteration ray batches to the mesh's combined device axis
+        (no-op without a mesh)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        spec = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(tuple(self.mesh.axis_names)))
+        out = tuple(jax.lax.with_sharding_constraint(a, spec) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     def init_state(self, key) -> MapperState:
         params = self.scene.init_params(key)
@@ -116,6 +143,9 @@ class Mapper:
             else:
                 rays_o, rays_d = g_o, g_d
                 target_rgb, target_d = g_rgb, g_depth[:, None]
+            if self.mesh is not None:
+                rays_o, rays_d, target_rgb, target_d = self._shard_rays(
+                    rays_o, rays_d, target_rgb, target_d)
 
             (loss, ret), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
                 params, rays_o, rays_d, target_rgb, target_d, k_render

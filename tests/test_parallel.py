@@ -75,3 +75,51 @@ def test_descriptor_all_gather_and_fetch():
     # fetch one agent's slice (the checkpoint-exchange analogue)
     sl = pmesh.fetch_agent_slice(descs_s, 2)
     np.testing.assert_allclose(np.asarray(sl), np.asarray(descs[2]), atol=1e-6)
+
+
+def test_ray_sharded_mapper_matches_unsharded():
+    """Single-agent mapping with the per-iteration ray batch sharded over
+    the full 8-device mesh == the unsharded Mapper, numerically (same key
+    stream -> same samples; grads reduce via the psum XLA inserts). This is
+    the multi-chip mapping-throughput path (BASELINE.md scatter-floor
+    note): per-device scatters shrink by the device count."""
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping.mapper import Mapper
+
+    assert len(jax.devices()) >= 8
+    cfg = make_config({
+        "mapping": {"bound": [[-1.2, 1.2]] * 3,
+                    "marching_cubes_bound": [[-1.2, 1.2]] * 3,
+                    "sample": 64, "min_pixels_cur": 16},
+        "planes_res": {"coarse": 0.6, "fine": 0.3, "bound_dividable": 0.3},
+        "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                "cy": 11.5, "near": 0.0, "far": 5.0},
+        "training": {"n_range_d": 7, "n_samples_d": 4, "range_d": 0.2},
+        "model": {"c_dim": 8, "input_ch": 16, "input_ch_pos": 48},
+    })
+    scene = SceneRep(cfg)
+    ds = SyntheticBoxDataset(cfg, num_frames=2, half=1.1)
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+
+    mesh = pmesh.make_mesh(1)  # 1 agent x 8 ray devices
+    assert mesh.shape["ray"] * mesh.shape["agent"] == 8
+
+    results = []
+    for m in (None, mesh):
+        mapper = Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save,
+                        mesh=m)
+        # both variants must sample identical ray batches
+        assert (mapper.n_global, mapper.n_cur) == (64, 16)
+        st = mapper.init_state(jax.random.PRNGKey(2))
+        st = mapper.add_keyframe(st, jnp.asarray(0), frame, pose,
+                                 jax.random.PRNGKey(3))
+        st, met = mapper.optimize(st, frame, pose, jax.random.PRNGKey(4),
+                                  iters=3)
+        results.append((st, met))
+
+    (st_ref, met_ref), (st_sh, met_sh) = results
+    np.testing.assert_allclose(float(met_sh["loss"]), float(met_ref["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(st_sh.params), jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
