@@ -150,8 +150,12 @@ def alt_corr_pallas_ml(
     coords: jax.Array,
     radius: int = 3,
     interpret: bool = False,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Single-kernel (all 4 pyramid levels fused) Pallas correlation."""
+    """Single-kernel (all 4 pyramid levels fused) Pallas correlation.
+
+    `mask` [E] (optional): edges with 0 are padding — the kernel skips
+    their per-pixel loop and zeroes their outputs."""
     from . import pallas_kernels
 
     pyr = build_pyramid(fmaps)
@@ -185,7 +189,7 @@ def alt_corr_pallas_ml(
     xs = jnp.stack(xs_levels, axis=-1)                       # [E, HW, 4]
     corr_int = pallas_kernels.corr_window_int_multilevel(
         f1_rows, f2_levels, ii.astype(jnp.int32), jj.astype(jnp.int32),
-        xs, nx, w2ps, interpret=interpret,
+        xs, nx, w2ps, mask=mask, interpret=interpret,
     ).reshape(E, HW, 4, nx, nx)
 
     out_levels = []
@@ -279,12 +283,16 @@ def alt_corr(
     coords: jax.Array,
     radius: int = 3,
     chunk: int = 8,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Correlation features for an edge set -> [E, L*(2r+1)^2, H, W].
 
-    Dispatches to the Pallas kernel on TPU (1.6x the XLA formulation, 19x
-    the original volume-gather version) and the XLA slab-gather formulation
-    on CPU. Override with MNESLAM_CORR_IMPL=pallas|xla.
+    Dispatches to the Pallas kernel on TPU (4x the XLA formulation, 40x
+    the original volume-gather version; direct-timed, prof_corr4) and the
+    XLA slab-gather formulation on CPU. Override with
+    MNESLAM_CORR_IMPL=pallas|xla. `mask` [E] marks padded edges (0) whose
+    windows are skipped by the Pallas kernel (outputs zeroed); the XLA
+    paths compute them (results are masked downstream either way).
     """
     import os
 
@@ -292,9 +300,8 @@ def alt_corr(
     if impl is None:
         impl = "xla" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
-        # fused 4-level kernel: 54 ms vs 143 ms (per-level) vs 230 ms (XLA)
-        # vs 2670 ms (volume gathers) at Replica frontend shapes on v5e
-        return alt_corr_pallas_ml(fmaps, ii, jj, coords, radius=radius)
+        return alt_corr_pallas_ml(fmaps, ii, jj, coords, radius=radius,
+                                  mask=mask)
     if impl == "pallas_per_level":
         return alt_corr_pallas(fmaps, ii, jj, coords, radius=radius)
     return alt_corr_xla(fmaps, ii, jj, coords, radius=radius, chunk=chunk)

@@ -53,7 +53,7 @@ def _corr_window_kernel(
 
 
 def _corr_window_kernel_ml(
-    ii_ref, jj_ref,
+    ii_ref, jj_ref, mask_ref,
     f1_ref,       # [1, HW, C]
     f2_0, f2_1, f2_2, f2_3,   # [1, H2W2p_l, C] per level
     xs_0, xs_1, xs_2, xs_3,   # [1, HW, 1] padded slab row starts per level
@@ -67,17 +67,34 @@ def _corr_window_kernel_ml(
     xs_refs = (xs_0, xs_1, xs_2, xs_3)
     out_refs = (out_0, out_1, out_2, out_3)
 
-    def body(p, _):
-        f1p = f1_ref[0, p, :]
-        for lvl in range(4):
-            start = xs_refs[lvl][0, p, 0]
-            rows = [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
-                    for j in range(nx)]
-            slab = jnp.concatenate(rows, axis=0)           # [nx*nx, C] j-major
-            out_refs[lvl][0, p, :] = jnp.sum(slab * f1p[None, :], axis=-1)
-        return 0
+    def run():
+        def body(p, _):
+            f1p = f1_ref[0, p, :]
+            for lvl in range(4):
+                start = xs_refs[lvl][0, p, 0]
+                rows = [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
+                        for j in range(nx)]
+                slab = jnp.concatenate(rows, axis=0)       # [nx*nx, C] j-major
+                out_refs[lvl][0, p, :] = jnp.sum(slab * f1p[None, :], axis=-1)
+            return 0
 
-    jax.lax.fori_loop(0, hw, body, 0)
+        jax.lax.fori_loop(0, hw, body, 0)
+
+    # padded edges (mask 0) skip the whole per-pixel loop — the edge table
+    # is a fixed-capacity buffer, typically ~20% padding. Outputs are
+    # zeroed (not left stale): uninitialized VMEM could hold NaNs, and a
+    # NaN survives the downstream mask-multiplies (NaN * 0 = NaN) into the
+    # damping segment means.
+    e = pl.program_id(0)
+
+    @pl.when(mask_ref[e] != 0)
+    def _():
+        run()
+
+    @pl.when(mask_ref[e] == 0)
+    def _():
+        for o in out_refs:
+            o[...] = jnp.zeros_like(o)
 
 
 def corr_window_int_multilevel(
@@ -88,31 +105,37 @@ def corr_window_int_multilevel(
     xs: jax.Array,             # [E, HW, 4]
     nx: int,
     w2ps,                      # tuple of 4 padded widths
+    mask: jax.Array | None = None,   # [E] int, 0 = padded edge (skipped)
     interpret: bool = False,
 ) -> jax.Array:
     """All 4 pyramid levels in one kernel -> [E, HW, 4*nx*nx] (j-major per
     level). Amortizes the per-pixel loop overhead and the f1 row read 4x
-    versus one kernel per level."""
+    versus one kernel per level. Edges with mask 0 skip the per-pixel loop
+    (zeroed outputs) — the fixed-capacity edge table is typically ~20%
+    padding (measured 64 -> 55 ms at 75/91 real edges, tools/prof_corr4.py)."""
     E = ii.shape[0]
     N, HW, C = f1_rows.shape
+    if mask is None:
+        mask = jnp.ones((E,), jnp.int32)
 
-    def idx_e(e, s_ii, s_jj):
+    def idx_e(e, s_ii, s_jj, s_m):
         return (e, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, HW, C), lambda e, s_ii, s_jj: (s_ii[e], 0, 0),
+        pl.BlockSpec((1, HW, C), lambda e, s_ii, s_jj, s_m: (s_ii[e], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for lv in f2_levels:
         H2W2p = lv.shape[1]
         in_specs.append(
-            pl.BlockSpec((1, H2W2p, C), lambda e, s_ii, s_jj: (s_jj[e], 0, 0),
+            pl.BlockSpec((1, H2W2p, C),
+                         lambda e, s_ii, s_jj, s_m: (s_jj[e], 0, 0),
                          memory_space=pltpu.VMEM))
     for _ in range(4):
         in_specs.append(pl.BlockSpec((1, HW, 1), idx_e, memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(E,),
         in_specs=in_specs,
         out_specs=tuple(
@@ -132,7 +155,7 @@ def corr_window_int_multilevel(
             vmem_limit_bytes=64 * 1024 * 1024,  # all 4 levels resident
         ),
         interpret=interpret,
-    )(ii, jj, f1_rows, *f2_levels, *xs_args)
+    )(ii, jj, mask.astype(jnp.int32), f1_rows, *f2_levels, *xs_args)
     return jnp.stack(outs, axis=2)  # [E, HW, 4, nx*nx]
 
 

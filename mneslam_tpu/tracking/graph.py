@@ -65,7 +65,8 @@ def update_step(
     motion = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
     motion = jnp.clip(motion, -64.0, 64.0).transpose(0, 3, 1, 2)
 
-    corr = correlation.alt_corr(state.fmaps, ii, jj, coords1)
+    corr = correlation.alt_corr(state.fmaps, ii, jj, coords1,
+                                mask=mask.astype(jnp.int32))
 
     if update_fn is None:
         new_net, delta, weight = droid_net.update_apply(

@@ -343,3 +343,33 @@ def test_motion_filter_batch_equivalence():
             np.asarray(getattr(st_b, name)[:c_a]), atol=1e-5, err_msg=name)
     np.testing.assert_allclose(np.asarray(mf_a.fmap), np.asarray(mf_b.fmap),
                                atol=1e-5)
+
+
+def test_alt_corr_pallas_masked_skip_interpret():
+    """The fused Pallas kernel (interpret mode on CPU) == brute force on
+    real edges; masked (padded) edges come back all-zero, not stale."""
+    key = jax.random.PRNGKey(7)
+    N, C = 3, 8
+    fmaps = jax.random.normal(key, (N, C, HT, WD))
+    coords = jnp.stack(
+        [jax.random.uniform(jax.random.fold_in(key, 1), (HT, WD),
+                            minval=-2, maxval=WD + 1),
+         jax.random.uniform(jax.random.fold_in(key, 2), (HT, WD),
+                            minval=-2, maxval=HT + 1)],
+        axis=-1,
+    )
+    ii = jnp.asarray([0, 1, 0])
+    jj = jnp.asarray([1, 2, 2])
+    mask = jnp.asarray([1, 0, 1], jnp.int32)
+    out = correlation.alt_corr_pallas_ml(
+        fmaps, ii, jj, jnp.stack([coords] * 3), radius=3,
+        interpret=True, mask=mask)
+
+    pyr = [np.asarray(p) for p in correlation.build_pyramid(fmaps)]
+    for e, (i, j) in ((0, (0, 1)), (2, (0, 2))):
+        ref = brute_force_corr(pyr[0][i], [p[j] for p in pyr],
+                               np.asarray(coords))
+        np.testing.assert_allclose(np.asarray(out[e]), ref,
+                                   atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out[1]),
+                                  np.zeros_like(np.asarray(out[1])))
