@@ -101,43 +101,45 @@ def bundle_adjust(
 
     ii, jj, emask = problem.ii, problem.jj, problem.mask
 
+    # Planes layout (pixel axis minor — see projective_transform_planes):
+    # target/weight transposed ONCE per call, outside the GN loop.
+    target_pl = problem.target.reshape(E, HW, 2).transpose(0, 2, 1)  # [E,2,HW]
+    weight_pl = problem.weight.reshape(E, HW, 2).transpose(0, 2, 1)
+
     def one_iteration(_, state):
         poses, disps = state
 
-        coords, valid, (Ji, Jj, Jz) = projective.projective_transform(
-            poses, disps, intrinsics, ii, jj, jacobian=True
+        coords, valid, (Ji, Jj, Jz) = projective.projective_transform_planes(
+            poses, disps, intrinsics, ii, jj
         )
-        # Residuals and weights, flattened over (pixel, xy-component).
-        r = (problem.target - coords).reshape(E, HW * 2)
-        w = RES_WEIGHT * (valid * problem.weight).reshape(E, HW * 2)
-        w = w * emask[:, None]
+        # Residuals and weights as (xy-component, pixel) planes.
+        r = target_pl - coords                             # [E, 2, HW]
+        w = RES_WEIGHT * valid * weight_pl * emask[:, None, None]
 
-        Ji_f = Ji.reshape(E, HW * 2, D)
-        Jj_f = Jj.reshape(E, HW * 2, D)
-        Jz_f = Jz.reshape(E, HW, 2)
+        wJi = w[:, None] * Ji                              # [E, D, 2, HW]
+        wJj = w[:, None] * Jj
+        Ji_f = Ji.reshape(E, D, 2 * HW)
+        Jj_f = Jj.reshape(E, D, 2 * HW)
+        wJi_f = wJi.reshape(E, D, 2 * HW)
+        wJj_f = wJj.reshape(E, D, 2 * HW)
+        r_f = r.reshape(E, 2 * HW)
 
-        wJi = w[..., None] * Ji_f
-        wJj = w[..., None] * Jj_f
+        # --- pose-pose blocks (per edge, 6x6): batched [D, 2HW] matmuls ---
+        Hii = jnp.einsum("eip,ejp->eij", wJi_f, Ji_f)
+        Hij = jnp.einsum("eip,ejp->eij", wJi_f, Jj_f)
+        Hji = jnp.einsum("eip,ejp->eij", wJj_f, Ji_f)
+        Hjj = jnp.einsum("eip,ejp->eij", wJj_f, Jj_f)
+        vi = jnp.einsum("eip,ep->ei", wJi_f, r_f)
+        vj = jnp.einsum("eip,ep->ei", wJj_f, r_f)
 
-        # --- pose-pose blocks (per edge, 6x6) ---
-        Hii = jnp.einsum("epi,epj->eij", wJi, Ji_f)
-        Hij = jnp.einsum("epi,epj->eij", wJi, Jj_f)
-        Hji = jnp.einsum("epi,epj->eij", wJj, Ji_f)
-        Hjj = jnp.einsum("epi,epj->eij", wJj, Jj_f)
-        vi = jnp.einsum("epi,ep->ei", wJi, r)
-        vj = jnp.einsum("epi,ep->ei", wJj, r)
-
-        # --- pose-depth blocks (per edge, 6 x HW) ---
-        wJi_px = wJi.reshape(E, HW, 2, D)
-        wJj_px = wJj.reshape(E, HW, 2, D)
-        Ei = jnp.einsum("epcd,epc->edp", wJi_px, Jz_f)   # [E, D, HW]
-        Ej = jnp.einsum("epcd,epc->edp", wJj_px, Jz_f)
+        # --- pose-depth blocks (per edge, 6 x HW): c-plane contraction ---
+        Ei = jnp.einsum("edcp,ecp->edp", wJi, Jz)          # [E, D, HW]
+        Ej = jnp.einsum("edcp,ecp->edp", wJj, Jz)
 
         # --- depth-depth diagonal + rhs (per edge, HW) ---
-        w_px = w.reshape(E, HW, 2)
-        r_px = r.reshape(E, HW, 2)
-        Ck = jnp.sum(w_px * Jz_f * Jz_f, axis=-1)        # [E, HW]
-        wk = jnp.sum(w_px * r_px * Jz_f, axis=-1)        # [E, HW]
+        wJz = w * Jz                                       # [E, 2, HW]
+        Ck = jnp.sum(wJz * Jz, axis=1)                     # [E, HW]
+        wk = jnp.sum(wJz * r, axis=1)                      # [E, HW]
 
         # --- scatter-assemble the dense pose system over all N frames ---
         # (fixed/padded poses handled by masking, keeping shapes static)
@@ -198,8 +200,17 @@ def bundle_adjust(
         Pq = Ecat * Qk[:, None, :]                        # E Q, blockwise
 
         # S -= sum over same-source block pairs of (E Q) E^T.
+        # One [2E*D, 2E*D] MXU matmul instead of einsum("adp,bep->abde"):
+        # XLA lowers the einsum to (2E)^2 batched [D, HW]x[HW, D] matmuls
+        # whose 6x6 outputs starve the MXU — measured ~4x slower at the
+        # combined active+inactive window table (tools/prof_frontend3.py).
+        twoE = Pq.shape[0]
         same_k = (kidx[:, None] == kidx[None, :])
-        G = jnp.einsum("adp,bep->abde", Pq, Ecat)         # [2E, 2E, D, D]
+        Gflat = jax.lax.dot_general(
+            Pq.reshape(twoE * D, HW), Ecat.reshape(twoE * D, HW),
+            (((1,), (1,)), ((), ())),
+        )                                                 # [2E*D, 2E*D]
+        G = Gflat.reshape(twoE, D, twoE, D).transpose(0, 2, 1, 3)
         G = G * same_k[:, :, None, None]
         pair_seg = (pidx[:, None] * N + pidx[None, :]).reshape(-1)
         S_blocks = jax.ops.segment_sum(

@@ -98,27 +98,34 @@ def bundle_adjust_sparse(
 
     ii, jj, emask = problem.ii, problem.jj, problem.mask
 
+    # planes layout, pixel axis minor (see projective_transform_planes /
+    # ops/ba.py) — transposed once per call, outside the GN loop
+    target_pl = problem.target.reshape(E, HW, 2).transpose(0, 2, 1)
+    weight_pl = problem.weight.reshape(E, HW, 2).transpose(0, 2, 1)
+
     def one_iteration(_, state):
         poses, disps = state
 
-        coords, valid, (Ji, Jj, Jz) = projective.projective_transform(
-            poses, disps, intrinsics, ii, jj, jacobian=True
+        coords, valid, (Ji, Jj, Jz) = projective.projective_transform_planes(
+            poses, disps, intrinsics, ii, jj
         )
-        r = (problem.target - coords).reshape(E, HW * 2)
-        w = RES_WEIGHT * (valid * problem.weight).reshape(E, HW * 2) * emask[:, None]
+        r = target_pl - coords                               # [E, 2, HW]
+        w = RES_WEIGHT * valid * weight_pl * emask[:, None, None]
 
-        Ji_f = Ji.reshape(E, HW * 2, D)
-        Jj_f = Jj.reshape(E, HW * 2, D)
-        Jz_f = Jz.reshape(E, HW, 2)
-        wJi = w[..., None] * Ji_f
-        wJj = w[..., None] * Jj_f
+        wJi = w[:, None] * Ji                                # [E, D, 2, HW]
+        wJj = w[:, None] * Jj
+        Ji_f = Ji.reshape(E, D, 2 * HW)
+        Jj_f = Jj.reshape(E, D, 2 * HW)
+        wJi_f = wJi.reshape(E, D, 2 * HW)
+        wJj_f = wJj.reshape(E, D, 2 * HW)
+        r_f = r.reshape(E, 2 * HW)
 
-        Hii = jnp.einsum("epi,epj->eij", wJi, Ji_f)
-        Hij = jnp.einsum("epi,epj->eij", wJi, Jj_f)
-        Hji = jnp.einsum("epi,epj->eij", wJj, Ji_f)
-        Hjj = jnp.einsum("epi,epj->eij", wJj, Jj_f)
-        vi = jnp.einsum("epi,ep->ei", wJi, r)
-        vj = jnp.einsum("epi,ep->ei", wJj, r)
+        Hii = jnp.einsum("eip,ejp->eij", wJi_f, Ji_f)
+        Hij = jnp.einsum("eip,ejp->eij", wJi_f, Jj_f)
+        Hji = jnp.einsum("eip,ejp->eij", wJj_f, Ji_f)
+        Hjj = jnp.einsum("eip,ejp->eij", wJj_f, Jj_f)
+        vi = jnp.einsum("eip,ep->ei", wJi_f, r_f)
+        vj = jnp.einsum("eip,ep->ei", wJj_f, r_f)
 
         H = (
             jax.ops.segment_sum(Hii, ii * N + ii, num_segments=N * N)
@@ -141,10 +148,8 @@ def bundle_adjust_sparse(
             return _retract(poses, dx, opt_pose), disps
 
         # per-edge pose-depth blocks, stacked as 2E contribution slots
-        wJi_px = wJi.reshape(E, HW, 2, D)
-        wJj_px = wJj.reshape(E, HW, 2, D)
-        Ei = jnp.einsum("epcd,epc->edp", wJi_px, Jz_f)     # [E, D, HW]
-        Ej = jnp.einsum("epcd,epc->edp", wJj_px, Jz_f)
+        Ei = jnp.einsum("edcp,ecp->edp", wJi, Jz)          # [E, D, HW]
+        Ej = jnp.einsum("edcp,ecp->edp", wJj, Jz)
         Eblk = jnp.stack([Ei, Ej], axis=1).reshape(2 * E, D, HW)
         blk_pose = jnp.stack([ii, jj], axis=1).reshape(2 * E)   # pose of slot
         blk_k = jnp.repeat(ii, 2)                                # depth frame
@@ -153,10 +158,9 @@ def bundle_adjust_sparse(
         Eblk = Eblk * slot_w[:, None, None]
         blk_pose = blk_pose * slot_w.astype(blk_pose.dtype)
 
-        w_px = w.reshape(E, HW, 2)
-        r_px = r.reshape(E, HW, 2)
-        Ck = jnp.sum(w_px * Jz_f * Jz_f, axis=-1)
-        wk = jnp.sum(w_px * r_px * Jz_f, axis=-1)
+        wJz = w * Jz                                       # [E, 2, HW]
+        Ck = jnp.sum(wJz * Jz, axis=1)
+        wk = jnp.sum(wJz * r, axis=1)
         C = jax.ops.segment_sum(Ck, ii, num_segments=N) + problem.eta.reshape(N, HW) + 1e-7
         wvec = jax.ops.segment_sum(wk, ii, num_segments=N)
         if disps_sens is not None:

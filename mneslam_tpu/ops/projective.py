@@ -156,6 +156,80 @@ def projective_transform(
     return x1, valid, (Ji, Jj, Jz)
 
 
+def projective_transform_planes(
+    poses: jax.Array,
+    disps: jax.Array,
+    intrinsics: jax.Array,
+    ii: jax.Array,
+    jj: jax.Array,
+):
+    """`projective_transform(jacobian=True)` in TPU planes layout.
+
+    Returns everything with the PIXEL axis minor:
+        coords [E, 2, HW], valid [E, 1, HW],
+        Ji, Jj [E, 6, 2, HW]   (tangent component, pixel-coord component)
+        Jz     [E, 2, HW]
+    Rationale: the [..., 2, 6]-minor layout pads 6 -> 128 lanes, so the BA
+    Hessian einsums stream ~21x the real bytes — measured 9 ms of a 22 ms
+    GN iteration at the frontend window (tools/prof_ba.py). In planes
+    layout every Jacobian entry is an [E, HW] plane built from closed-form
+    per-edge scalars; the H/E/C reductions become batched [6, 2HW]-by-
+    [2HW, 6] MXU matmuls. Math identical to projective_ops.py:66-141.
+    """
+    E = ii.shape[0]
+    ht, wd = disps.shape[-2:]
+    HW = ht * wd
+    dt = disps.dtype
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+
+    grid = coords_grid(ht, wd, dtype=dt).reshape(HW, 2)
+    X0x = ((grid[:, 0] - cx) / fx)[None, :]                     # [1, HW]
+    X0y = ((grid[:, 1] - cy) / fy)[None, :]
+    d = disps[ii].reshape(E, HW)                                # [E, HW]
+
+    Gij = relative_poses(poses, ii, jj)                         # [E, 7]
+    R = lie.quat_to_matrix(Gij[:, 3:7])                         # [E, 3, 3]
+    t0, t1, t2 = (Gij[:, 0:1], Gij[:, 1:2], Gij[:, 2:3])        # [E, 1]
+
+    def rc(r, c):
+        return R[:, r, c][:, None]                              # [E, 1]
+
+    # X1 = R @ (X0x, X0y, 1) + t * d  (homogeneous w carries d)
+    x1 = rc(0, 0) * X0x + rc(0, 1) * X0y + rc(0, 2) + t0 * d
+    y1 = rc(1, 0) * X0x + rc(1, 1) * X0y + rc(1, 2) + t1 * d
+    z1 = rc(2, 0) * X0x + rc(2, 1) * X0y + rc(2, 2) + t2 * d
+
+    Z = jnp.where(z1 < 0.5 * MIN_DEPTH, jnp.ones_like(z1), z1)
+    px = fx * (x1 / Z) + cx
+    py = fy * (y1 / Z) + cy
+    coords = jnp.stack([px, py], axis=1)                        # [E, 2, HW]
+    valid = (z1 > MIN_DEPTH).astype(dt)[:, None, :]             # [E, 1, HW]
+
+    # Jp rows (proj jacobian): [a, 0, -u2, 0], [0, b, -v2, 0]
+    a = fx / Z
+    b = fy / Z
+    u2 = a * (x1 / Z)
+    v2 = b * (y1 / Z)
+
+    # Ja (act4_jacobian at X1, tangent [tau, phi]); Jj = Jp @ Ja, rows:
+    #   Jj0 = [a*d, 0,   -u2*d, -u2*y1,      a*z1 + u2*x1, -a*y1]
+    #   Jj1 = [0,   b*d, -v2*d, -b*z1-v2*y1,  v2*x1,        b*x1]
+    zero = jnp.zeros_like(a)
+    Jj0 = [a * d, zero, -u2 * d, -u2 * y1, a * z1 + u2 * x1, -a * y1]
+    Jj1 = [zero, b * d, -v2 * d, -b * z1 - v2 * y1, v2 * x1, b * x1]
+    Jj = jnp.stack([jnp.stack(Jj0, axis=1),
+                    jnp.stack(Jj1, axis=1)], axis=2)            # [E, 6, 2, HW]
+
+    # Ji = -(Jj @ Ad(Gij)): per-edge [6, 6] contraction with scalars
+    Adj = lie.adjoint(Gij)                                      # [E, 6, 6]
+    Ji = -jnp.einsum("elcp,elk->ekcp", Jj, Adj)
+
+    # Jz = Jp @ act4(G, e4) with act4(G, (0,0,0,1)) = (t, 1)
+    Jz = jnp.stack([a * t0 - u2 * t2, b * t1 - v2 * t2], axis=1)  # [E, 2, HW]
+
+    return coords, valid, (Ji, Jj, Jz)
+
+
 def induced_flow(
     poses: jax.Array,
     disps: jax.Array,

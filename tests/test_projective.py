@@ -102,3 +102,40 @@ def test_self_edge_convention():
     X1 = lie.act4(G[:, None, None, :], X0)
     expected, _ = projective.proj(X1, INTR)
     np.testing.assert_allclose(coords, expected, atol=1e-5)
+
+
+def test_projective_transform_planes_matches_reference_layout():
+    """projective_transform_planes == projective_transform(jacobian=True):
+    same coords/valid; Jacobian planes equal the [..., 2, 6] layout
+    transposed (the BA hot path consumes the planes layout)."""
+    from mneslam_tpu.ops.projective import (projective_transform,
+                                            projective_transform_planes)
+
+    key = jax.random.PRNGKey(3)
+    N, ht, wd = 5, 12, 16
+    poses = jnp.concatenate([
+        0.3 * jax.random.normal(key, (N, 3)),
+        lie.quat_normalize(jax.random.normal(jax.random.fold_in(key, 1), (N, 4))),
+    ], axis=-1)
+    disps = 0.3 + jax.random.uniform(jax.random.fold_in(key, 2), (N, ht, wd))
+    intr = jnp.asarray([14.0, 15.0, 7.5, 5.5])
+    ii = jnp.asarray([0, 1, 2, 3, 2])
+    jj = jnp.asarray([1, 2, 3, 4, 2])  # includes a self-edge
+
+    c_ref, v_ref, (Ji_r, Jj_r, Jz_r) = projective_transform(
+        poses, disps, intr, ii, jj, jacobian=True)
+    c_pl, v_pl, (Ji_p, Jj_p, Jz_p) = projective_transform_planes(
+        poses, disps, intr, ii, jj)
+
+    E, HW = 5, ht * wd
+    np.testing.assert_allclose(
+        np.asarray(c_pl), np.asarray(c_ref).reshape(E, HW, 2).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(v_pl), np.asarray(v_ref).reshape(E, 1, HW))
+    # reference [E, H, W, 2, 6] -> planes [E, 6, 2, HW]
+    for ref, pl in ((Ji_r, Ji_p), (Jj_r, Jj_p)):
+        ref_t = np.asarray(ref).reshape(E, HW, 2, 6).transpose(0, 3, 2, 1)
+        np.testing.assert_allclose(np.asarray(pl), ref_t, rtol=1e-4, atol=1e-5)
+    Jz_t = np.asarray(Jz_r).reshape(E, HW, 2).transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(Jz_p), Jz_t, rtol=1e-4, atol=1e-5)
