@@ -67,18 +67,32 @@ def _corr_window_kernel_ml(
     xs_refs = (xs_0, xs_1, xs_2, xs_3)
     out_refs = (out_0, out_1, out_2, out_3)
 
+    # manual unroll: processing U pixels per loop step overlaps their
+    # dynamic-slice reads and batches the output stores — 55 -> 30 ms at
+    # the frontend shapes (tools/prof_corr6.py; lax.fori_loop's own unroll
+    # is unsupported in Pallas TPU lowering)
+    U = next(u for u in (8, 4, 2, 1) if hw % u == 0)
+
     def run():
-        def body(p, _):
-            f1p = f1_ref[0, p, :]
+        def body(pb, _):
+            outs = [[] for _ in range(4)]
+            for u in range(U):
+                p = pb * U + u
+                f1p = f1_ref[0, p, :]
+                for lvl in range(4):
+                    start = xs_refs[lvl][0, p, 0]
+                    rows = [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
+                            for j in range(nx)]
+                    slab = jnp.concatenate(rows, axis=0)   # [nx*nx, C] j-major
+                    outs[lvl].append(jnp.sum(slab * f1p[None, :], axis=-1))
             for lvl in range(4):
-                start = xs_refs[lvl][0, p, 0]
-                rows = [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
-                        for j in range(nx)]
-                slab = jnp.concatenate(rows, axis=0)       # [nx*nx, C] j-major
-                out_refs[lvl][0, p, :] = jnp.sum(slab * f1p[None, :], axis=-1)
+                if U == 1:
+                    out_refs[lvl][0, pb, :] = outs[lvl][0]
+                else:
+                    out_refs[lvl][0, pl.ds(pb * U, U), :] = jnp.stack(outs[lvl])
             return 0
 
-        jax.lax.fori_loop(0, hw, body, 0)
+        jax.lax.fori_loop(0, hw // U, body, 0)
 
     # padded edges (mask 0) skip the whole per-pixel loop — the edge table
     # is a fixed-capacity buffer, typically ~20% padding. Outputs are
