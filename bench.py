@@ -128,12 +128,15 @@ def main():
     np.asarray(state.poses[0])
     # NOTE: timed regions must end in a host FETCH of result bytes — on the
     # remote backend block_until_ready returns before execution finishes,
-    # so fetch-free loops only measure dispatch
+    # so fetch-free loops only measure dispatch. Updates are CHAINED with
+    # one fetch at the end so the ~30 ms tunnel RTT amortizes instead of
+    # being billed per call (CLAUDE.md timing protocol).
+    n_up = max(args.reps, 8)
     t0 = time.perf_counter()
-    for _ in range(max(args.reps // 2, 2)):
+    for _ in range(n_up):
         state = graph.update(state, t0=1, t1=n_kf, iters=2)
-        np.asarray(state.poses[0])
-    per_update = (time.perf_counter() - t0) / max(args.reps // 2, 2)
+    np.asarray(state.poses[0])
+    per_update = (time.perf_counter() - t0) / n_up
 
     # ---- mapping ----
     ds = SyntheticBoxDataset(cfg, num_frames=4, half=bound * 0.9)
