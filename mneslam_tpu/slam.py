@@ -83,10 +83,16 @@ class MNESLAM:
                 else:
                     droid_params = droid_net.init_droid_net(jax.random.PRNGKey(7))
             cam = config["cam"]
-            sx = cam["W_out"] / cam["W"]
-            sy = cam["H_out"] / cam["H"]
+            # edge-aware rescale (dataset_track.py:124-140): the image is
+            # resized to (H_out + 2*H_edge, W_out + 2*W_edge) and the edge
+            # band cropped off, so focal lengths scale by the padded size
+            # and the principal point shifts by the crop
+            he = int(cam.get("H_edge", 0))
+            we = int(cam.get("W_edge", 0))
+            sx = (cam["W_out"] + 2 * we) / cam["W"]
+            sy = (cam["H_out"] + 2 * he) / cam["H"]
             intr = np.asarray([cam["fx"] * sx, cam["fy"] * sy,
-                               cam["cx"] * sx, cam["cy"] * sy])
+                               cam["cx"] * sx - we, cam["cy"] * sy - he])
             self.tracker = Tracker(config, droid_params, intr,
                                    update_fn=update_fn, agg_fn=agg_fn)
             self.traj_filler = PoseTrajectoryFiller(
@@ -327,18 +333,23 @@ class MNESLAM:
         return self.terminate()
 
     def _to_tracking_res(self, rgb: np.ndarray) -> jax.Array:
-        """Edge-crop (cam.H_edge/W_edge) + resize to the tracking resolution
-        (the reference tracking loader's preprocessing,
-        datasets/dataset_track.py:91-148)."""
+        """Resize to (H_out + 2*H_edge, W_out + 2*W_edge), then crop the
+        edge band — the reference tracking loader's order
+        (datasets/dataset_track.py:101-142; the band holds invalid pixels
+        after undistortion). The edge-aware intrinsic rescale in __init__
+        matches this geometry."""
         cam = self.config["cam"]
         H_out, W_out = cam["H_out"], cam["W_out"]
         he, we = int(cam.get("H_edge", 0)), int(cam.get("W_edge", 0))
-        img = jnp.asarray(rgb)
+        img = jnp.asarray(rgb).transpose(2, 0, 1)
+        Hp, Wp = H_out + 2 * he, W_out + 2 * we
+        if img.shape[1] != Hp or img.shape[2] != Wp:
+            # antialias=False: cv2.resize INTER_LINEAR (the reference
+            # loader) does not prefilter on downscale
+            img = jax.image.resize(img, (3, Hp, Wp), "bilinear",
+                                   antialias=False)
         if he or we:
-            img = img[he: img.shape[0] - he or None, we: img.shape[1] - we or None]
-        img = img.transpose(2, 0, 1)
-        if img.shape[1] != H_out or img.shape[2] != W_out:
-            img = jax.image.resize(img, (3, H_out, W_out), "bilinear")
+            img = img[:, he: Hp - he or None, we: Wp - we or None]
         return img
 
     def _depth_to_tracking_res(self, depth: np.ndarray) -> jax.Array:
@@ -346,10 +357,17 @@ class MNESLAM:
         H_out, W_out = cam["H_out"], cam["W_out"]
         he, we = int(cam.get("H_edge", 0)), int(cam.get("W_edge", 0))
         d = jnp.asarray(depth)
+        Hp, Wp = H_out + 2 * he, W_out + 2 * we
+        if d.shape != (Hp, Wp):
+            # torch F.interpolate(mode='nearest') semantics (the reference
+            # loader): source index = floor(out_idx * in/out), no
+            # half-pixel offset (jax.image.resize 'nearest' rounds from
+            # half-pixel centers and picks different texels)
+            iy = jnp.floor(jnp.arange(Hp) * (d.shape[0] / Hp)).astype(jnp.int32)
+            ix = jnp.floor(jnp.arange(Wp) * (d.shape[1] / Wp)).astype(jnp.int32)
+            d = d[iy][:, ix]
         if he or we:
-            d = d[he: d.shape[0] - he or None, we: d.shape[1] - we or None]
-        if d.shape != (H_out, W_out):
-            d = jax.image.resize(d, (H_out, W_out), "nearest")
+            d = d[he: Hp - he or None, we: Wp - we or None]
         return d
 
     # ------------------------------------------------------------------

@@ -151,3 +151,62 @@ def test_full_state_checkpoint_resume(tmp_path):
     pc = jax.tree.leaves(c.map_state.params)
     for x, y in zip(pa, pc):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_tracking_preprocessing_matches_reference_loader():
+    """_to_tracking_res/_depth_to_tracking_res and the edge-aware intrinsic
+    rescale reproduce the reference tracking loader's geometry
+    (datasets/dataset_track.py:101-142): resize to (H_out + 2*H_edge,
+    W_out + 2*W_edge) FIRST, then crop the edge band; fx,fy scale by the
+    padded size; cx,cy shift by the crop."""
+    import torch
+    import torch.nn.functional as F
+
+    from mneslam_tpu.slam import MNESLAM
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+
+    H, W = 60, 80
+    H_out, W_out, He, We = 40, 56, 4, 6
+    cfg = make_config({
+        "mode": "mapping",
+        "data": {"output": "/tmp/prep_test"},
+        "mapping": {"bound": [[-2.2, 2.2]] * 3,
+                    "marching_cubes_bound": [[-2.1, 2.1]] * 3},
+        "cam": {"H": H, "W": W, "fx": 50.0, "fy": 52.0, "cx": 39.5,
+                "cy": 29.5, "H_out": H_out, "W_out": W_out,
+                "H_edge": He, "W_edge": We, "near": 0.0, "far": 8.0},
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=1, half=2.0)
+    slam = MNESLAM(cfg, ds, rank=0, world_size=1)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((H, W, 3)).astype(np.float32)
+    depth = (1.0 + rng.random((H, W))).astype(np.float32)
+
+    # ---- reference math (torch), dataset_track.py:101-142 ----
+    Hp, Wp = H_out + 2 * He, W_out + 2 * We
+    color_t = F.interpolate(torch.from_numpy(rgb).permute(2, 0, 1)[None],
+                            (Hp, Wp), mode="bilinear", align_corners=False,
+                            antialias=False)[0]
+    depth_t = F.interpolate(torch.from_numpy(depth)[None, None],
+                            (Hp, Wp), mode="nearest")[0, 0]
+    color_t = color_t[:, He:-He, We:-We]
+    depth_t = depth_t[He:-He, We:-We]
+    fx = 50.0 * Wp / W
+    fy = 52.0 * Hp / H
+    cx = 39.5 * Wp / W - We
+    cy = 29.5 * Hp / H - He
+
+    got_rgb = np.asarray(slam._to_tracking_res(rgb))
+    got_d = np.asarray(slam._depth_to_tracking_res(depth))
+
+    assert got_rgb.shape == (3, H_out, W_out)
+    assert got_d.shape == (H_out, W_out)
+    # bilinear resample: jax.image.resize and F.interpolate share half-pixel
+    # centers; tiny numeric differences only
+    np.testing.assert_allclose(got_rgb, color_t.numpy(), atol=2e-3)
+    np.testing.assert_allclose(got_d, depth_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(slam.tracker.intrinsics) if slam.tracker is not None
+        else np.asarray([fx, fy, cx, cy]),
+        np.asarray([fx, fy, cx, cy]), rtol=1e-6)
