@@ -54,6 +54,8 @@ class BaseDataset:
         self.cx = cfg["cam"]["cx"] // down if down > 1 else cfg["cam"]["cx"]
         self.cy = cfg["cam"]["cy"] // down if down > 1 else cfg["cam"]["cy"]
         self.crop_edge = cfg["cam"].get("crop_edge", 0)
+        self.distortion = (np.asarray(cfg["cam"]["distortion"], np.float64)
+                           if "distortion" in cfg["cam"] else None)
         self.sc_factor = cfg["data"].get("sc_factor", 1)
         self.t0 = cfg.get("start_index", 0)
         self.t1 = cfg.get("end_index", -1)
@@ -73,6 +75,18 @@ class BaseDataset:
 
     def __len__(self):
         return self.num_frames
+
+    def _undistort(self, rgb: np.ndarray) -> np.ndarray:
+        """cv2.undistort on the COLOR image only (never depth), applied at
+        raw resolution before any resize — dataset.py:99-101 /
+        dataset_track.py:95-99. No-op without cam.distortion."""
+        if self.distortion is None:
+            return rgb
+        import cv2
+
+        K = np.eye(3)
+        K[0, 0], K[0, 2], K[1, 1], K[1, 2] = self.fx, self.cx, self.fy, self.cy
+        return cv2.undistort(rgb, K, self.distortion)
 
     def _item(self, index, rgb, depth, c2w) -> Dict:
         return {
@@ -109,7 +123,7 @@ class ReplicaDataset(BaseDataset):
         return poses
 
     def __getitem__(self, index):
-        rgb = _imread_color(self.img_files[index])
+        rgb = self._undistort(_imread_color(self.img_files[index]))
         depth = _imread_depth(self.depth_paths[index]) / self.png_depth_scale * self.sc_factor
         H, W = depth.shape
         rgb = _resize_color(rgb, W, H)
@@ -141,7 +155,7 @@ class ScannetDataset(BaseDataset):
             self.cy -= self.crop_edge
 
     def __getitem__(self, index):
-        rgb = _imread_color(self.img_files[index])
+        rgb = self._undistort(_imread_color(self.img_files[index]))
         depth = _imread_depth(self.depth_paths[index]) / self.png_depth_scale * self.sc_factor
         H, W = depth.shape
         rgb = _resize_color(rgb, W, H)
@@ -187,7 +201,7 @@ class IndoorDataset(BaseDataset):
             self.cy -= self.crop_edge
 
     def __getitem__(self, index):
-        rgb = _imread_color(self.img_files[index])
+        rgb = self._undistort(_imread_color(self.img_files[index]))
         depth = _imread_depth(self.depth_paths[index]) / 65535.0 * 100.0
         H, W = depth.shape
         rgb = _resize_color(rgb, W, H)
@@ -208,7 +222,7 @@ class OutdoorDataset(ReplicaDataset):
         super().__init__(cfg, basedir)
 
     def __getitem__(self, index):
-        rgb = _imread_color(self.img_files[index])
+        rgb = self._undistort(_imread_color(self.img_files[index]))
         depth = _imread_depth(self.depth_paths[index]) / self.png_depth_scale * self.sc_factor
         H = rgb.shape[0]
         W = rgb.shape[1]
@@ -273,7 +287,7 @@ class TUMDataset(BaseDataset):
         self.num_frames = len(self.img_files)
 
     def __getitem__(self, index):
-        rgb = _imread_color(self.img_files[index])
+        rgb = self._undistort(_imread_color(self.img_files[index]))
         depth = _imread_depth(self.depth_paths[index]) / self.png_depth_scale * self.sc_factor
         H, W = depth.shape
         rgb = _resize_color(rgb, W, H)

@@ -151,3 +151,35 @@ def test_repo_configs_load():
             assert int(cfg["end_index"]) > int(cfg["start_index"]) >= 0, path
         for key, b in (cfg.get("loop_bound") or {}).items():
             assert np.asarray(b, float).shape == (3, 2), (path, key)
+
+
+def test_replica_loader_undistortion(tmp_path):
+    """cam.distortion triggers cv2.undistort on color only (dataset.py:99),
+    applied at raw resolution with the raw intrinsics; depth untouched."""
+    d = tmp_path / "replica_dist"
+    (d / "results").mkdir(parents=True)
+    write_frame(str(d / "results" / "frame000000.jpg"),
+                str(d / "results" / "depth000000.png"))
+    with open(d / "traj.txt", "w") as f:
+        f.write(make_pose_line(0.0) + "\n")
+
+    dist = [0.2, -0.05, 0.001, 0.001, 0.0]
+    cfg = base_cfg()
+    cfg["dataset"] = "replica"
+    cfg["data"]["datadir"] = str(d)
+    cfg["cam"]["distortion"] = dist
+    ds = datasets.get_dataset(cfg)
+    got = ds[0]
+
+    cfg2 = base_cfg()
+    cfg2["dataset"] = "replica"
+    cfg2["data"]["datadir"] = str(d)
+    ds2 = datasets.get_dataset(cfg2)
+    plain = ds2[0]
+
+    K = np.eye(3)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = 30.0, 19.5, 30.0, 15.5
+    want = cv2.undistort(plain["rgb"], K, np.asarray(dist))
+    np.testing.assert_allclose(got["rgb"], want, atol=1e-6)
+    assert np.abs(got["rgb"] - plain["rgb"]).max() > 1e-3  # it did something
+    np.testing.assert_allclose(got["depth"], plain["depth"], atol=1e-7)
