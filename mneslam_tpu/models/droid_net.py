@@ -151,11 +151,14 @@ def agg_apply(
     summed = jax.ops.segment_sum(h1 * mask[:, None, None, None], ii, num_segments=num_frames)
     count = jax.ops.segment_sum(mask, ii, num_segments=num_frames)
     mean = summed / jnp.maximum(count, 1.0)[:, None, None, None]
-    h2 = jax.nn.relu(conv2d(p["conv2"], mean[ii], padding=1))
-
-    eta = jax.nn.softplus(clip_grad_custom(conv2d(p["eta"][0], h2, padding=1)))
-    upmask = conv2d(p["upmask"][0], h2)
-    return (0.01 * eta[:, 0]).astype(jnp.float32), upmask.astype(jnp.float32)
+    # conv(mean[ii]) == conv(mean)[ii] (pointwise over the batch axis): run
+    # the head convs on the N frame means, gather per edge afterwards —
+    # the edge table is bigger than the frame count (E ~ 1.4-3x N)
+    h2 = jax.nn.relu(conv2d(p["conv2"], mean, padding=1))
+    eta_n = jax.nn.softplus(clip_grad_custom(conv2d(p["eta"][0], h2, padding=1)))
+    upmask_n = conv2d(p["upmask"][0], h2)
+    return (0.01 * eta_n[ii, 0]).astype(jnp.float32), \
+        upmask_n[ii].astype(jnp.float32)
 
 
 def init_update(key) -> Dict:
