@@ -199,24 +199,27 @@ def bundle_adjust(
         Qk = (1.0 / C)[kidx]                              # [2E, HW]
         Pq = Ecat * Qk[:, None, :]                        # E Q, blockwise
 
-        # S -= sum over same-source block pairs of (E Q) E^T.
-        # One [2E*D, 2E*D] MXU matmul instead of einsum("adp,bep->abde"):
-        # XLA lowers the einsum to (2E)^2 batched [D, HW]x[HW, D] matmuls
-        # whose 6x6 outputs starve the MXU — measured ~4x slower at the
-        # combined active+inactive window table (tools/prof_frontend3.py).
+        # S -= sum over same-source block pairs of (E Q) E^T, entirely in
+        # the lane-dense [2E*D, 2E*D] space: Gflat[a*D+d, b*D+e] =
+        # sum_p Pq[a,d,p] Ecat[b,e,p] via ONE MXU matmul; the same-source
+        # mask expands blockwise; and the per-pose-pair accumulation is
+        # S -= L^T (G o M) L with L the block one-hot routing slot a to
+        # pose pidx[a] (two thin matmuls). The earlier formulations — (2E)^2
+        # batched 6x6 einsum, or reshaping to [2E,2E,6,6] + a 132k-segment
+        # scatter — both stream lane-padded 6-minor arrays and were the
+        # hottest stage of the GN iteration (tools/prof_ba.py).
         twoE = Pq.shape[0]
-        same_k = (kidx[:, None] == kidx[None, :])
         Gflat = jax.lax.dot_general(
             Pq.reshape(twoE * D, HW), Ecat.reshape(twoE * D, HW),
             (((1,), (1,)), ((), ())),
         )                                                 # [2E*D, 2E*D]
-        G = Gflat.reshape(twoE, D, twoE, D).transpose(0, 2, 1, 3)
-        G = G * same_k[:, :, None, None]
-        pair_seg = (pidx[:, None] * N + pidx[None, :]).reshape(-1)
-        S_blocks = jax.ops.segment_sum(
-            G.reshape(-1, D, D), pair_seg, num_segments=N * N
-        ).reshape(N, N, D, D)
-        S = Hmat - S_blocks.transpose(0, 2, 1, 3).reshape(N * D, N * D)
+        same_k = (kidx[:, None] == kidx[None, :]).astype(Gflat.dtype)
+        M = jnp.repeat(jnp.repeat(same_k, D, axis=0), D, axis=1)
+        onehot = (pidx[:, None] == jnp.arange(N)[None, :]).astype(Gflat.dtype)
+        L = (onehot[:, None, :, None]
+             * jnp.eye(D, dtype=Gflat.dtype)[None, :, None, :]
+             ).reshape(twoE * D, N * D)
+        S = Hmat - L.T @ (Gflat * M) @ L
 
         # rhs -= (E Q) w, blockwise then scattered per pose.
         rhs_blocks = jnp.einsum("adp,ap->ad", Pq, wvec[kidx])
