@@ -71,7 +71,7 @@ def _corr_window_kernel_ml(
     # dynamic-slice reads and batches the output stores — 55 -> 30 ms at
     # the frontend shapes (tools/prof_corr6.py; lax.fori_loop's own unroll
     # is unsupported in Pallas TPU lowering)
-    U = next(u for u in (8, 4, 2, 1) if hw % u == 0)
+    U = next(u for u in (16, 8, 4, 2, 1) if hw % u == 0)
 
     def run():
         def body(pb, _):
