@@ -38,10 +38,29 @@ def sample_rays_from_frame(
     rgb: jax.Array,        # [H, W, 3]
     depth: jax.Array,      # [H, W]
     n: int,
+    filter_depth: bool = False,
+    depth_trunc: float = 100.0,
 ) -> jax.Array:
-    """Random pixel sample -> packed rays [n, 7] (keyframe.py:27-50)."""
+    """Random pixel sample -> packed rays [n, 7] (keyframe.py:27-50).
+
+    With `filter_depth` (mapping.filter_depth, reference
+    keyframe.py:34-38): sample uniformly over pixels with valid depth
+    (0 < d <= depth_trunc) only. Static-shape formulation: a weighted
+    categorical draw over the pixel grid instead of the reference's
+    `random.sample` over the compacted valid rows (uniform over the same
+    support; with replacement, like the random path here). Falls back to
+    unfiltered sampling if a frame has no valid depth at all.
+    """
     H, W = depth.shape
-    idx = jax.random.randint(key, (n,), 0, H * W)
+    if filter_depth:
+        z_flat = depth.reshape(-1)
+        valid = ((z_flat > 0.0) & (z_flat <= depth_trunc)).astype(jnp.float32)
+        any_valid = jnp.sum(valid) > 0
+        logits = jnp.where(
+            any_valid, jnp.log(jnp.maximum(valid, 1e-30)), jnp.zeros_like(valid))
+        idx = jax.random.categorical(key, logits, shape=(n,))
+    else:
+        idx = jax.random.randint(key, (n,), 0, H * W)
     d = direction.reshape(-1, 3)[idx]
     c = rgb.reshape(-1, 3)[idx]
     z = depth.reshape(-1)[idx]
@@ -55,10 +74,14 @@ def add_keyframe(
     direction: jax.Array,
     rgb: jax.Array,
     depth: jax.Array,
+    filter_depth: bool = False,
+    depth_trunc: float = 100.0,
 ) -> KeyframeDB:
     """Append a keyframe's ray sample to the next slot (functional)."""
     n = db.rays.shape[1]
-    packed = sample_rays_from_frame(key, direction, rgb, depth, n)
+    packed = sample_rays_from_frame(key, direction, rgb, depth, n,
+                                    filter_depth=filter_depth,
+                                    depth_trunc=depth_trunc)
     slot = db.count
     return KeyframeDB(
         rays=jax.lax.dynamic_update_index_in_dim(db.rays, packed, slot, axis=0),

@@ -103,7 +103,17 @@ class Mapper:
 
     def _loss_fn(self, params, rays_o, rays_d, target_rgb, target_d, key):
         ret = self.scene.forward(params, rays_o, rays_d, target_rgb, target_d, key=key)
-        loss = self.scene.get_loss_from_ret(ret)
+        smooth = None
+        tr = self.config["training"]
+        if float(tr.get("smooth_weight", 0.0)) > 0.0:
+            # TV smoothness over a random plane-feature sub-grid
+            # (mneslam_mp.py:375-397, weighted at mneslam_mp.py:366-370)
+            smooth = self.scene.smoothness(
+                params, jax.random.fold_in(key, 101),
+                sample_points=int(tr.get("smooth_pts", 32)),
+                voxel_size=float(tr.get("smooth_vox", 0.1)),
+                margin=float(tr.get("smooth_margin", 0.05)))
+        loss = self.scene.get_loss_from_ret(ret, smooth_loss=smooth)
         return loss, ret
 
     @partial(jax.jit, static_argnames=("self", "iters", "use_cur"))
@@ -175,6 +185,8 @@ class Mapper:
         db = kf_lib.add_keyframe(
             state.db, key, frame_id,
             cur_frame["direction"], cur_frame["rgb"], cur_frame["depth"],
+            filter_depth=bool(self.config["mapping"].get("filter_depth", False)),
+            depth_trunc=float(self.config["cam"]["depth_trunc"]),
         )
         kf_poses = jax.lax.dynamic_update_index_in_dim(
             state.kf_poses, cur_pose, state.db.count, axis=0

@@ -153,7 +153,12 @@ def agg_apply(
     mean = summed / jnp.maximum(count, 1.0)[:, None, None, None]
     # conv(mean[ii]) == conv(mean)[ii] (pointwise over the batch axis): run
     # the head convs on the N frame means, gather per edge afterwards —
-    # the edge table is bigger than the frame count (E ~ 1.4-3x N)
+    # the edge table is bigger than the frame count (E ~ 1.4-3x N).
+    # Backward-path divergence from the reference: clip_grad_custom here
+    # clips the per-FRAME aggregated cotangent (duplicate-edge cotangents
+    # sum before clipping) instead of per-edge.  Forward is identical and
+    # the tracker is inference-only, so this only matters if someone ever
+    # differentiates through agg_apply.
     h2 = jax.nn.relu(conv2d(p["conv2"], mean, padding=1))
     eta_n = jax.nn.softplus(clip_grad_custom(conv2d(p["eta"][0], h2, padding=1)))
     upmask_n = conv2d(p["upmask"][0], h2)

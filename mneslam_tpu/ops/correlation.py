@@ -290,9 +290,10 @@ def alt_corr(
     Dispatches to the Pallas kernel on TPU (4x the XLA formulation, 40x
     the original volume-gather version; direct-timed, prof_corr4) and the
     XLA slab-gather formulation on CPU. Override with
-    MNESLAM_CORR_IMPL=pallas|xla. `mask` [E] marks padded edges (0) whose
-    windows are skipped by the Pallas kernel (outputs zeroed); the XLA
-    paths compute them (results are masked downstream either way).
+    MNESLAM_CORR_IMPL=pallas|xla. `mask` [E] marks padded edges (0): the
+    Pallas kernel skips their whole pixel loop; the XLA/per-level paths
+    compute them and zero the outputs afterwards, so padded-slot corr (and
+    the GRU hidden state fed from it) is identical across backends.
     """
     import os
 
@@ -303,8 +304,12 @@ def alt_corr(
         return alt_corr_pallas_ml(fmaps, ii, jj, coords, radius=radius,
                                   mask=mask)
     if impl == "pallas_per_level":
-        return alt_corr_pallas(fmaps, ii, jj, coords, radius=radius)
-    return alt_corr_xla(fmaps, ii, jj, coords, radius=radius, chunk=chunk)
+        out = alt_corr_pallas(fmaps, ii, jj, coords, radius=radius)
+    else:
+        out = alt_corr_xla(fmaps, ii, jj, coords, radius=radius, chunk=chunk)
+    if mask is not None:
+        out = out * mask.astype(out.dtype)[:, None, None, None]
+    return out
 
 
 @partial(jax.jit, static_argnames=("radius", "chunk"))

@@ -136,3 +136,59 @@ def test_keyframe_deletion_and_overlap_selection():
         jnp.asarray([40.0, 40.0, 31.5, 23.5]), H=48, W=64)
     assert float(ratios[0]) > 0.9
     assert float(ratios[1]) < 0.1
+
+
+def test_filter_depth_sampling():
+    """mapping.filter_depth=True samples only valid-depth pixels
+    (reference keyframe.py:34-38: 0 < d <= depth_trunc)."""
+    from mneslam_tpu.mapping import keyframe as kf_lib
+
+    H, W = 8, 10
+    key = jax.random.PRNGKey(0)
+    direction = jax.random.normal(key, (H, W, 3))
+    rgb = jax.random.uniform(key, (H, W, 3))
+    # only row 3 has valid depth; everything else is 0 or beyond trunc
+    depth = jnp.zeros((H, W)).at[3].set(2.0).at[5].set(150.0)
+
+    rays = kf_lib.sample_rays_from_frame(key, direction, rgb, depth, 64,
+                                         filter_depth=True, depth_trunc=100.0)
+    np.testing.assert_allclose(np.asarray(rays[:, 6]), 2.0)
+
+    # unfiltered: invalid depths appear
+    rays_u = kf_lib.sample_rays_from_frame(key, direction, rgb, depth, 64,
+                                           filter_depth=False)
+    assert (np.asarray(rays_u[:, 6]) == 0.0).any()
+
+    # all-invalid frame falls back to unfiltered instead of NaN
+    rays_f = kf_lib.sample_rays_from_frame(key, direction, rgb,
+                                           jnp.zeros((H, W)), 16,
+                                           filter_depth=True, depth_trunc=100.0)
+    assert np.isfinite(np.asarray(rays_f)).all()
+
+
+def test_smooth_weight_wired_into_mapper_loss():
+    """training.smooth_weight > 0 adds the TV plane-feature smoothness term
+    to the mapper's loss (mneslam_mp.py:366-397) — gradients and loss value
+    must differ from the smooth_weight=0 run on identical data."""
+    cfg = tiny_config()
+    ds = SyntheticBoxDataset(cfg, num_frames=2)
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+
+    import copy
+    cfg_s = copy.deepcopy(cfg)
+    cfg_s["training"]["smooth_weight"] = 1000.0
+    cfg_s["training"]["smooth_pts"] = 8
+    cfg_s["training"]["smooth_vox"] = 0.3
+
+    losses = {}
+    for name, c in (("off", cfg), ("on", cfg_s)):
+        scene = SceneRep(c)
+        mapper = Mapper(c, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save)
+        state = mapper.init_state(jax.random.PRNGKey(0))
+        state = mapper.add_keyframe(state, jnp.asarray(0), frame, pose,
+                                    jax.random.PRNGKey(1))
+        state, metrics = mapper.optimize(state, frame, pose,
+                                         jax.random.PRNGKey(2), iters=2)
+        losses[name] = float(metrics["loss"])
+    assert losses["on"] != losses["off"]

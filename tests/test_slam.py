@@ -3,6 +3,8 @@ trajectory filler with an oracle update op."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,8 +161,8 @@ def test_tracking_preprocessing_matches_reference_loader():
     (datasets/dataset_track.py:101-142): resize to (H_out + 2*H_edge,
     W_out + 2*W_edge) FIRST, then crop the edge band; fx,fy scale by the
     padded size; cx,cy shift by the crop."""
-    import torch
-    import torch.nn.functional as F
+    torch = pytest.importorskip("torch")
+    F = torch.nn.functional
 
     from mneslam_tpu.slam import MNESLAM
     from mneslam_tpu.data.synthetic import SyntheticBoxDataset
