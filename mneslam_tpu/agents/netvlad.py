@@ -166,7 +166,12 @@ def make_descriptor_fn(config, key: Optional[jax.Array] = None):
     ckpts = config.get("checkpoints", {}) or {}
     path = ckpts.get(name)
     if path and os.path.exists(str(path)):
-        params = load_netvlad_mat(str(path))
+        if str(path).endswith(".npz"):
+            # pre-converted via tools/import_weights.py
+            from ..utils.params_io import load_pytree_npz
+            params = load_pytree_npz(str(path))
+        else:
+            params = load_netvlad_mat(str(path))
 
         def fn(image_hw3):
             img = jnp.clip(image_hw3, 0.0, 1.0).transpose(2, 0, 1)[None]
