@@ -413,8 +413,13 @@ class MNESLAM:
         # Mesher.get_mesh culled output, model/Mesher.py:92-157,217-297)
         mesh_path = os.path.join(self.out_dir, "mesh", "final_mesh.ply")
         try:
+            # RAW mesh is bounded to keyframe-observed space (the reference
+            # never generates geometry outside the keyframe TSDF hull,
+            # model/Mesher.py:92-157); the culled variant below additionally
+            # frustum/occlusion-culls per vertex.
             verts, faces, colors = extract_mesh(
-                self.scene, self.map_state.params, self.config, save_path=mesh_path
+                self.scene, self.map_state.params, self.config,
+                save_path=mesh_path, observed=self._observed_space()
             )
             results["mesh_verts"] = len(verts)
             culled = self._save_culled_mesh(verts, faces, colors)
@@ -457,6 +462,25 @@ class MNESLAM:
         self.save_checkpoint(os.path.join(self.out_dir, "final_checkpoint.npz"))
         return results
 
+    def _observed_space(self):
+        """(kf_poses, intrinsics, H, W, depths, eps) of the mapped
+        keyframes, for observed-space mesh bounding — or None before any
+        keyframe is mapped."""
+        if not self.mapped_timestamps:
+            return None
+        n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
+        kf_poses = np.asarray(self.map_state.kf_poses[:n])
+        depths = np.stack([np.asarray(self.dataset[int(t)]["depth"])
+                           for t in self.mapped_timestamps[:n]])
+        H, W = depths.shape[1:]
+        cam = self.config["cam"]
+        intr = np.asarray([cam["fx"], cam["fy"], cam["cx"], cam["cy"]], np.float32)
+        # depth-support band: the meshing truncation (3*trunc, like the
+        # reference's TSDF integration depth + truncation)
+        eps = 3.0 * float(self.config["training"]["trunc"]) * \
+            float(self.config["data"]["sc_factor"])
+        return kf_poses, intr, H, W, depths, eps
+
     def _save_culled_mesh(self, verts, faces, colors) -> Optional[int]:
         """Frustum+occlusion-cull the final mesh against the mapped
         keyframes (poses + observed depths) and save it alongside the raw
@@ -466,13 +490,7 @@ class MNESLAM:
         from .mapping import cull
         from .ops import mc
 
-        n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
-        kf_poses = np.asarray(self.map_state.kf_poses[:n])
-        depths = np.stack([np.asarray(self.dataset[int(t)]["depth"])
-                           for t in self.mapped_timestamps[:n]])
-        H, W = depths.shape[1:]
-        cam = self.config["cam"]
-        intr = np.asarray([cam["fx"], cam["fy"], cam["cx"], cam["cy"]], np.float32)
+        kf_poses, intr, H, W, depths, _ = self._observed_space()
         cverts, cfaces, ccolors = cull.cull_mesh(
             verts, faces, kf_poses, intr, H, W, depths=depths, colors=colors)
         path = os.path.join(self.out_dir, "mesh", "final_mesh_culled.ply")

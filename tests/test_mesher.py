@@ -1,5 +1,6 @@
 """Marching-tetrahedra tests against analytic SDFs + PLY round-trip."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from mneslam_tpu.ops import mc
@@ -111,3 +112,55 @@ def test_frustum_culling():
     depths = np.ones((1, 48, 64), np.float32)
     v2, f2, _ = cull_mesh(verts, faces, c2w, intr, H=48, W=64, depths=depths)
     assert len(f2) == 0
+
+
+def test_raw_mesh_bounded_to_observed_space():
+    """With `observed`, the RAW mesh contains zero geometry outside the
+    keyframe frustums/depth support (reference Mesher.get_mesh's TSDF-hull
+    bound, model/Mesher.py:92-157). An untrained map produces spurious
+    surface everywhere; the observed-space mask must remove everything a
+    camera never saw."""
+    import jax
+
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.mapping import cull
+    from mneslam_tpu.mapping.mesher import extract_mesh
+    from mneslam_tpu.models.scene_rep import SceneRep
+
+    cfg = make_config({
+        "mapping": {"bound": [[-2.0, 2.0]] * 3,
+                    "marching_cubes_bound": [[-2.0, 2.0]] * 3},
+        "planes_res": {"coarse": 0.8, "fine": 0.4, "bound_dividable": 0.4},
+        "cam": {"H": 32, "W": 40, "fx": 30.0, "fy": 30.0, "cx": 19.5,
+                "cy": 15.5, "near": 0.0, "far": 8.0},
+        "training": {"trunc": 0.3},
+        "model": {"c_dim": 8, "input_ch": 16, "input_ch_pos": 48,
+                  "truncation": 0.3},
+        "meshing": {"resolution": 0.25},
+    })
+    scene = SceneRep(cfg)
+    params = scene.init_params(jax.random.PRNGKey(0))
+
+    # one keyframe looking down -z from the origin, constant 1.5 m depth
+    H, W = 32, 40
+    kf_poses = np.eye(4)[None]
+    depths = np.full((1, H, W), 1.5, np.float32)
+    intr = np.asarray([30.0, 30.0, 19.5, 15.5], np.float32)
+    eps = 3.0 * 0.3
+    observed = (kf_poses, intr, H, W, depths, eps)
+
+    verts_raw, _, _ = extract_mesh(scene, params, cfg, color=False)
+    verts_obs, _, _ = extract_mesh(scene, params, cfg, color=False,
+                                   observed=observed)
+    assert len(verts_raw) > 0, "untrained map should produce spurious surface"
+    assert len(verts_obs) < len(verts_raw)
+
+    if len(verts_obs):
+        # every surviving vertex is visible (small tolerance band for the
+        # cube-corner quantization: a cube polygonizes only if ALL corners
+        # are observed, so verts can sit at most one diagonal inside)
+        diag = 0.25 * np.sqrt(3.0)
+        counts = np.asarray(cull._visible_counts(
+            jnp.asarray(verts_obs), jnp.asarray(kf_poses), jnp.asarray(intr),
+            jnp.asarray(depths), H=H, W=W, eps=eps + diag))
+        assert (counts > 0).all(), f"{(counts == 0).sum()} verts unobserved"
