@@ -96,6 +96,9 @@ _DEFAULTS: Dict[str, Any] = {
             "loop_thresh": 25.0,
             "loop_radius": 1,
             "loop_nms": 12,
+            # edges per corr+GRU pass in full-history BA (update_lowmem
+            # memory bound, factor_graph.py:280-346)
+            "corr_chunk": 256,
         },
     },
     "grid": {"oneGrid": True},

@@ -136,47 +136,23 @@ def _unpack_corners_adjoint(d_packed: jax.Array, C: int, H: int, W: int) -> jax.
     return jnp.transpose(out, (2, 0, 1))
 
 
-def pack_corners_sublane(plane: jax.Array) -> jax.Array:
-    """`pack_corners` with the corner index as its OWN (sublane) axis:
-    [C, H, W] -> [H*W, 4, C], row (y*W + x, k) = corner k of cell (y, x)
-    in the order (00, 01, 10, 11) with border clamping.
-
-    Same memory bytes per row as the [H*W, 4C] lane-concat layout, but the
-    corners stack along a new axis instead of concatenating along the lane
-    (minor) dimension — on TPU a lane-dim concat of computed [N, C]
-    matrices forces lane-offset relayouts (~11 ms/step at 92k points,
-    tools/prof_mapping10/13), while a leading/sublane stack is a cheap
-    strided copy. This is what makes the sampler VJP fast in context.
-    """
-    C, H, W = plane.shape
-    hwc = jnp.transpose(plane, (1, 2, 0))              # [H, W, C]
-    sx = jnp.concatenate([hwc[:, 1:], hwc[:, -1:]], axis=1)
-    sy = jnp.concatenate([hwc[1:], hwc[-1:]], axis=0)
-    sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
-    packed = jnp.stack([hwc, sx, sy, sxy], axis=2)     # [H, W, 4, C]
-    return packed.reshape(H * W, 4, C)
-
-
 @jax.custom_vjp
 def sample_plane_packed(plane: jax.Array, coords: jax.Array) -> jax.Array:
-    """Packed-corner bilinear sampling as one differentiable op.
+    """`pack_corners` + `grid_sample_2d_packed` as one differentiable op.
 
     plane [C, H, W], coords [N, 2] in [-1, 1] -> [N, C], bit-identical to
     `grid_sample_2d(plane, coords)`.
 
-    Design (both halves measured on v5e):
-    - ONE row gather per point: the plane is pre-shifted into a
-      [H*W, 4, C] corner table (`pack_corners_sublane`) so all 4 bilinear
-      corners arrive in one gathered row — the XLA gather floor is ~18 ns
-      per *index* regardless of row width (4x fewer indices for free).
-    - The custom VJP reuses the forward-gathered corner rows for the
-      coordinate gradient and emits exactly ONE scatter-add per plane
-      (corner cotangents as [N, 4, C] slabs) plus the dense pack adjoint.
-    - All corner math runs on the 4-sized SUBLANE axis: the earlier
-      [N, 4C] lane-concat layout hit TPU lane-relayout pathologies the
-      moment the cotangent was a computed matrix (the full mapping step
-      spent ~11 of 17 ms there — tools/prof_mapping13 L0 vs L1), the
-      sublane layout removes them (17.1 -> measured in BASELINE.md).
+    The custom VJP exists for the backward: XLA's autodiff of the packed
+    path re-packs the table, re-gathers the corners, and schedules the 6
+    per-plane scatter-adds poorly — the mapping super-step spent ~12 of
+    15 ms there (tools/prof_mapping9.py). The manual backward reuses the
+    forward-gathered corner rows for the coordinate gradient and emits
+    exactly one scatter-add (the corner cotangents, [N, 4C] rows) plus the
+    dense pack adjoint. Layout note: a [H*W, 4, C] sublane-corner variant
+    of the whole table measured 4x SLOWER end-to-end on v5e ((1,4,C) slab
+    gathers are pathological) — the corner axis must stay folded into the
+    lane dimension.
     """
     out, _ = _sample_plane_fwd_impl(plane, coords)
     return out
@@ -194,34 +170,41 @@ def _sample_plane_fwd_impl(plane, coords):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     idx = y0i * W + x0i
 
-    g = pack_corners_sublane(plane)[idx]               # [N, 4, C]
-    w4 = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
-                    (1 - wx) * wy, wx * wy], axis=1)   # [N, 4]
-    out = jnp.sum(g * w4[:, :, None], axis=1)          # [N, C]
-    return out, (g, w4, wx, wy, idx)
+    g = pack_corners(plane)[idx]                       # [N, 4C]
+    out = (
+        g[:, 0 * C:1 * C] * ((1 - wx) * (1 - wy))[:, None]
+        + g[:, 1 * C:2 * C] * (wx * (1 - wy))[:, None]
+        + g[:, 2 * C:3 * C] * ((1 - wx) * wy)[:, None]
+        + g[:, 3 * C:4 * C] * (wx * wy)[:, None]
+    )
+    return out, (g, wx, wy, idx)
 
 
 def _sample_plane_fwd(plane, coords):
-    out, (g, w4, wx, wy, idx) = _sample_plane_fwd_impl(plane, coords)
+    out, (g, wx, wy, idx) = _sample_plane_fwd_impl(plane, coords)
     # `plane` in the residuals is an alias (no copy) — only its shape/dtype
     # are read in the backward
-    return out, (g, w4, wx, wy, idx, coords, plane)
+    return out, (g, wx, wy, idx, coords, plane)
 
 
 def _sample_plane_bwd(res, dout):
-    g, w4, wx, wy, idx, coords, plane = res
+    g, wx, wy, idx, coords, plane = res
     C, H, W = plane.shape
     dout = dout.astype(plane.dtype)
 
-    # --- plane cotangent: one scatter of the 4 corner contributions,
-    # built by broadcast on the sublane corner axis (no lane concat) ---
-    vals = dout[:, None, :] * w4[:, :, None]           # [N, 4, C]
-    d_packed = jnp.zeros((H * W, 4, C), vals.dtype).at[idx].add(vals)
-    d_plane = _unpack_corners_adjoint_sublane(d_packed, C, H, W)
+    # --- plane cotangent: one scatter of the 4 corner contributions ---
+    vals = jnp.concatenate([
+        dout * ((1 - wx) * (1 - wy))[:, None],
+        dout * (wx * (1 - wy))[:, None],
+        dout * ((1 - wx) * wy)[:, None],
+        dout * (wx * wy)[:, None],
+    ], axis=-1)                                        # [N, 4C]
+    d_packed = jnp.zeros((H * W, 4 * C), vals.dtype).at[idx].add(vals)
+    d_plane = _unpack_corners_adjoint(d_packed, C, H, W)
 
     # --- coordinate cotangent (pose-render alignment differentiates
     # through the sample positions) ---
-    g00, g01, g10, g11 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    g00, g01, g10, g11 = (g[:, i * C:(i + 1) * C] for i in range(4))
     gx = (g01 - g00) * (1 - wy)[:, None] + (g11 - g10) * wy[:, None]
     gy = (g10 - g00) * (1 - wx)[:, None] + (g11 - g01) * wx[:, None]
     # clip passes gradient on [min, max] inclusive (jnp.clip VJP semantics)
@@ -234,25 +217,6 @@ def _sample_plane_bwd(res, dout):
 
 
 sample_plane_packed.defvjp(_sample_plane_fwd, _sample_plane_bwd)
-
-
-def _unpack_corners_adjoint_sublane(d_packed: jax.Array, C: int, H: int, W: int) -> jax.Array:
-    """Adjoint of `pack_corners_sublane`: route the corner-table cotangent
-    [H*W, 4, C] back to the plane [C, H, W] (same shift transposes as
-    `_unpack_corners_adjoint`, reading corner slabs off the sublane axis)."""
-    d = d_packed.reshape(H, W, 4, C)
-    d00, d01, d10, d11 = d[:, :, 0], d[:, :, 1], d[:, :, 2], d[:, :, 3]
-
-    def shift_back_x(a):  # adjoint of concat([p[:, 1:], p[:, -1:]], axis=1)
-        main = jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
-        return main.at[:, -1].add(a[:, -1])
-
-    def shift_back_y(a):  # adjoint of concat([p[1:], p[-1:]], axis=0)
-        main = jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
-        return main.at[-1].add(a[-1])
-
-    out = d00 + shift_back_x(d01) + shift_back_y(d10 + shift_back_x(d11))
-    return jnp.transpose(out, (2, 0, 1))
 
 
 def upsample_exact(plane: jax.Array, k: int) -> jax.Array:

@@ -36,6 +36,12 @@ class Backend:
         self.loop_thresh = be["loop_thresh"]
         self.loop_radius = be["loop_radius"]
         self.loop_nms = be["loop_nms"]
+        # memory bound for full-history corr+GRU passes (the reference's
+        # update_lowmem s=13 source frames, factor_graph.py:305) — here in
+        # EDGES per pass; graphs with more edges than this chunk their
+        # GRU half so the [E, 196, h, w] corr volume never materializes
+        # at full graph size
+        self.corr_chunk = int(be.get("corr_chunk", 256))
         self.update_fn = update_fn
         self.agg_fn = agg_fn
 
@@ -56,6 +62,8 @@ class Backend:
             update_fn=self.update_fn,
             agg_fn=self.agg_fn,
             sparse_ba=window > self.SPARSE_BA_THRESHOLD,
+            corr_chunk=(self.corr_chunk
+                        if max_factors + 16 > self.corr_chunk else None),
         )
 
     def _propose_edges(

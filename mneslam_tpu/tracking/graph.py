@@ -23,6 +23,96 @@ from ..ops import correlation, projective
 from . import video as video_lib
 
 
+@partial(jax.jit, static_argnames=("update_fn", "agg_fn"))
+def gru_chunk_step(
+    state: video_lib.VideoState,
+    params: Dict,
+    intrinsics: jax.Array,
+    ii: jax.Array,        # [chunk]
+    jj: jax.Array,        # [chunk]
+    mask: jax.Array,      # [chunk]
+    net: jax.Array,       # [chunk, 128, h, w]
+    target: jax.Array,    # [chunk, h, w, 2]
+    update_fn=None,
+    agg_fn=None,
+):
+    """The correlate -> ConvGRU half of `update_step` over ONE edge chunk.
+
+    This is the reference's `update_lowmem` memory bound
+    (factor_graph.py:280-346, s=13 source frames per pass): the [E, 196,
+    h, w] correlation volume and GRU activations exist only at chunk size,
+    so full-history/loop BA over hundreds of keyframes never materializes
+    the whole-graph corr volume. Returns (new_net, new_target, weight,
+    eta, upmask) for the chunk; the caller accumulates and runs the BA
+    half once over all edges.
+    """
+    B = state.poses.shape[0]
+    ht, wd = state.disps.shape[1:]
+    coords0 = projective.coords_grid(ht, wd)
+
+    coords1, _ = video_lib.reproject(state, intrinsics, ii, jj)
+    motion = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
+    motion = jnp.clip(motion, -64.0, 64.0).transpose(0, 3, 1, 2)
+
+    corr = correlation.alt_corr(state.fmaps, ii, jj, coords1,
+                                mask=mask.astype(jnp.int32))
+
+    if update_fn is None:
+        new_net, delta, weight = droid_net.update_apply(
+            params["update"], net, state.inps[ii], corr, motion
+        )
+    else:
+        new_net, delta, weight = update_fn(params, state, ii, jj, net, corr,
+                                           motion, coords1)
+    if agg_fn is None:
+        eta, upmask = droid_net.agg_apply(params["update"]["agg"], new_net, ii, mask, B)
+    else:
+        eta, upmask = agg_fn(params, new_net, ii, mask, B)
+
+    # per-chunk damping scatter (the reference scatters per lowmem pass,
+    # factor_graph.py:320-323); padded edges write to a trash row
+    ii_scatter = jnp.where(mask > 0, ii, B)
+    damping = jnp.concatenate([state.damping, jnp.zeros((1, ht, wd))], axis=0)
+    damping = damping.at[ii_scatter].set(eta)[:B]
+    state = state._replace(damping=damping)
+    return state, new_net, coords1 + delta, weight, upmask
+
+
+@partial(jax.jit, static_argnames=("window", "iters", "motion_only"))
+def ba_step(
+    state: video_lib.VideoState,
+    intrinsics: jax.Array,
+    ii: jax.Array,
+    jj: jax.Array,
+    mask: jax.Array,
+    target: jax.Array,
+    weight: jax.Array,
+    t0: jax.Array,
+    t1: jax.Array,
+    window: int,
+    iters: int = 2,
+    motion_only: bool = False,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    pairs=None,
+):
+    """The BA half of `update_step` over the full (already GRU-updated)
+    edge table; `state.damping` was scattered by the gru chunks."""
+    if pairs is not None:
+        state = video_lib.full_ba(
+            state, intrinsics, target, weight, ii, jj, mask,
+            pairs, t0=t0, t1=t1, iters=iters, lm=lm, ep=ep,
+            motion_only=motion_only,
+        )
+    else:
+        state = video_lib.windowed_ba(
+            state, intrinsics, target, weight, ii, jj, mask,
+            t0=t0, t1=t1, window=window, iters=iters, lm=lm, ep=ep,
+            motion_only=motion_only,
+        )
+    return state
+
+
 @partial(jax.jit, static_argnames=("window", "iters", "motion_only", "update_fn", "agg_fn"))
 def update_step(
     state: video_lib.VideoState,
@@ -127,12 +217,20 @@ class FactorGraph:
         update_fn=None,
         agg_fn=None,
         sparse_ba: bool = False,
+        corr_chunk: Optional[int] = None,
     ):
         self.update_fn = update_fn
         self.agg_fn = agg_fn
         # full-history BA via sparse Schur assembly instead of the windowed
         # dense-E solver (used when the optimization spans the whole buffer)
         self.sparse_ba = sparse_ba
+        # memory bound: when set, `update` runs the correlate/GRU half in
+        # fixed-size edge chunks (the reference's update_lowmem s=13 pass,
+        # factor_graph.py:280-346) so the [E, 196, h, w] corr volume never
+        # materializes at full graph size
+        self.corr_chunk = corr_chunk
+        if corr_chunk is not None:
+            capacity = (capacity + corr_chunk - 1) // corr_chunk * corr_chunk
         self.buffer = buffer
         self.ht, self.wd = ht, wd
         self.capacity = capacity
@@ -337,15 +435,46 @@ class FactorGraph:
             cap = 1 << max(int(np.ceil(np.log2(max(raw.n_pairs, 1)))), 6)
             pairs = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m, capacity=cap)
 
-        state, self.net, self.target, self.weight, self._upmask = update_step(
-            state, self.params, self.intrinsics,
-            ii, jj, mask, self.net, self.target,
-            ii_i, jj_i, m_i, tgt_i, w_i,
-            jnp.asarray(t0), jnp.asarray(t1),
-            window=self.window, iters=iters, motion_only=motion_only,
-            lm=lm, ep=ep, update_fn=self.update_fn, agg_fn=self.agg_fn,
-            pairs=pairs,
-        )
+        if self.corr_chunk is not None and self.capacity > self.corr_chunk:
+            # ---- memory-bounded path: GRU in chunks, one BA over all ----
+            S = self.corr_chunk
+            n_chunks = max((self.n_active + S - 1) // S, 1)
+            for c in range(n_chunks):
+                sl = slice(c * S, (c + 1) * S)
+                st_c, net_c, tgt_c, w_c, up_c = gru_chunk_step(
+                    state, self.params, self.intrinsics,
+                    ii[sl], jj[sl], mask[sl], self.net[sl], self.target[sl],
+                    update_fn=self.update_fn, agg_fn=self.agg_fn,
+                )
+                state = st_c
+                self.net = jax.lax.dynamic_update_slice_in_dim(
+                    self.net, net_c, c * S, axis=0)
+                self.target = jax.lax.dynamic_update_slice_in_dim(
+                    self.target, tgt_c, c * S, axis=0)
+                self.weight = jax.lax.dynamic_update_slice_in_dim(
+                    self.weight, w_c, c * S, axis=0)
+                if c == 0:
+                    self._upmask = up_c
+            state = ba_step(
+                state, self.intrinsics,
+                jnp.concatenate([ii, ii_i]), jnp.concatenate([jj, jj_i]),
+                jnp.concatenate([mask, m_i]),
+                jnp.concatenate([self.target, tgt_i]),
+                jnp.concatenate([self.weight, w_i]),
+                jnp.asarray(t0), jnp.asarray(t1),
+                window=self.window, iters=iters, motion_only=motion_only,
+                lm=lm, ep=ep, pairs=pairs,
+            )
+        else:
+            state, self.net, self.target, self.weight, self._upmask = update_step(
+                state, self.params, self.intrinsics,
+                ii, jj, mask, self.net, self.target,
+                ii_i, jj_i, m_i, tgt_i, w_i,
+                jnp.asarray(t0), jnp.asarray(t1),
+                window=self.window, iters=iters, motion_only=motion_only,
+                lm=lm, ep=ep, update_fn=self.update_fn, agg_fn=self.agg_fn,
+                pairs=pairs,
+            )
         self.age += 1
         return state
 

@@ -373,3 +373,49 @@ def test_alt_corr_pallas_masked_skip_interpret():
                                    atol=1e-3, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(out[1]),
                                   np.zeros_like(np.asarray(out[1])))
+
+
+def test_graph_update_lowmem_matches_monolithic():
+    """The chunked corr+GRU path (corr_chunk, the reference's update_lowmem
+    memory bound) must produce bit-identical poses/targets/weights to the
+    monolithic update_step when the update/agg fns are chunk-invariant
+    (the oracle fns are; the real GraphAgg is chunk-LOCAL by design, in
+    both the reference and here)."""
+    key = jax.random.PRNGKey(3)
+    n, buffer = 6, 8
+
+    phi = 0.02 * jax.random.normal(key, (n, 3))
+    t = jnp.cumsum(0.05 * jax.random.normal(jax.random.fold_in(key, 1), (n, 3)), axis=0)
+    gt_poses_n = jnp.concatenate([t, lie.so3_exp(phi)], -1).at[0].set(lie.identity())
+    gt_poses = jnp.concatenate([gt_poses_n, lie.identity((buffer - n,))])
+    gt_disps = jnp.broadcast_to(
+        0.4 + 0.2 * jax.random.uniform(jax.random.fold_in(key, 2), (1, HT, WD)),
+        (buffer, HT, WD))
+
+    def make_state():
+        state = video_lib.init_video(buffer, HT, WD)
+        state = state._replace(disps=gt_disps, disps_sens=gt_disps)
+        dxi = 0.04 * jax.random.normal(jax.random.fold_in(key, 3), (buffer, 6)).at[0].set(0.0)
+        return state._replace(poses=lie.retr(gt_poses, dxi))
+
+    update_fn, agg_fn = make_oracle(gt_poses, gt_disps, INTR)
+
+    results = {}
+    for name, chunk in (("mono", None), ("chunked", 8)):
+        graph = FactorGraph(buffer, HT, WD, capacity=40, params={},
+                            intrinsics=INTR, window=8,
+                            update_fn=update_fn, agg_fn=agg_fn,
+                            corr_chunk=chunk)
+        if chunk is not None:
+            assert graph.capacity % chunk == 0  # rounded up
+        state = make_state()
+        graph.add_neighborhood_factors(state, 0, n, r=2)
+        for _ in range(2):
+            state = graph.update(state, t0=1, t1=n, iters=2, ep=1e-3, lm=1e-5)
+        results[name] = (np.asarray(state.poses), np.asarray(state.disps),
+                         np.asarray(graph.target[: graph.n_active]),
+                         np.asarray(graph.weight[: graph.n_active]),
+                         np.asarray(state.damping))
+
+    for a, b in zip(results["mono"], results["chunked"]):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
