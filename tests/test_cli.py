@@ -1,3 +1,4 @@
+import pytest
 """CLI smoke test: config file -> mapping-only run -> output contract."""
 
 import os
@@ -5,6 +6,7 @@ import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_cli_mapping_only(tmp_path):
     cfg_path = tmp_path / "tiny.yaml"
     cfg_path.write_text(f"""

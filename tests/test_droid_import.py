@@ -35,6 +35,7 @@ def make_fake_checkpoint(path: str) -> dict:
     return sd
 
 
+@pytest.mark.slow
 def test_load_droid_weights_layout(tmp_path):
     path = str(tmp_path / "droid.pth")
     sd = make_fake_checkpoint(path)

@@ -42,6 +42,7 @@ def test_params_io_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_import_droid_tool_and_frontend(tmp_path):
     """Fake droid.pth (golden-manifest shapes) -> import tool -> npz ->
     MNESLAM tracking.pretrained -> real frontend on synthetic frames."""
@@ -115,6 +116,7 @@ def test_import_droid_tool_and_frontend(tmp_path):
     assert np.isfinite(poses).all()
 
 
+@pytest.mark.slow
 def test_import_netvlad_tool(tmp_path):
     pytest.importorskip("scipy")
     from tests.netvlad_fixture import make_fake_netvlad_mat

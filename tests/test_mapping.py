@@ -6,6 +6,7 @@ Convergence criterion: render PSNR improves substantially and depth error
 drops to centimeter scale.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def tiny_config():
     })
 
 
+@pytest.mark.slow
 def test_mapping_converges_on_synthetic_scene():
     cfg = tiny_config()
     ds = SyntheticBoxDataset(cfg, num_frames=8)
@@ -166,6 +168,7 @@ def test_filter_depth_sampling():
     assert np.isfinite(np.asarray(rays_f)).all()
 
 
+@pytest.mark.slow
 def test_smooth_weight_wired_into_mapper_loss():
     """training.smooth_weight > 0 adds the TV plane-feature smoothness term
     to the mapper's loss (mneslam_mp.py:366-397) — gradients and loss value

@@ -1,6 +1,7 @@
 """Multi-agent layer tests: descriptors, loop detection, pose alignment,
 trajectory deformation, and a 2-agent fusion run."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +95,7 @@ def test_deform_trajectory_limits():
     assert abs(dy[2] - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_render_pose_alignment_recovers_perturbation(tmp_path):
     """Train a map, perturb a pose, recover it by render alignment."""
     from mneslam_tpu.slam import MNESLAM
@@ -123,6 +125,7 @@ def test_render_pose_alignment_recovers_perturbation(tmp_path):
     assert err1 < 0.5 * err0, f"pose alignment failed: {err0:.4f} -> {err1:.4f}"
 
 
+@pytest.mark.slow
 def test_two_agent_mapping_with_fusion(tmp_path):
     """Two agents map different halves of the box room; loop detection and
     bound fusion run end-to-end through the runner."""
@@ -231,6 +234,7 @@ def test_netvlad_mat_importer(tmp_path):
     np.testing.assert_allclose(float(jnp.linalg.norm(desc)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_same_agent_loop_closure(tmp_path):
     """An agent revisiting earlier viewpoints closes the loop against its own
     map via render alignment; with GT poses the corrective transform is

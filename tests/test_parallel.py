@@ -1,6 +1,7 @@
 """Device-mesh parallelism tests (8 virtual CPU devices)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -123,3 +124,76 @@ def test_ray_sharded_mapper_matches_unsharded():
                                rtol=1e-4)
     for a, b in zip(jax.tree.leaves(st_sh.params), jax.tree.leaves(st_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_ray_sharded_mapper_matches_unsharded_reference_shapes():
+    """Gradient/loss equality of sharded vs unsharded mapping at REFERENCE
+    shapes (2048+100 rays x 43 samples, c_dim 32, 0.04/0.02 m planes over
+    an 8 m bound) — VERDICT r2 next #2 asked for the equality claim at the
+    real workload, not the tiny config."""
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping.mapper import Mapper
+
+    assert len(jax.devices()) >= 8
+    bound = 4.0
+    cfg = make_config({
+        "mapping": {"bound": [[-bound, bound]] * 3,
+                    "marching_cubes_bound": [[-bound, bound]] * 3,
+                    "sample": 2048, "min_pixels_cur": 100},
+        "planes_res": {"coarse": 0.04, "fine": 0.02, "bound_dividable": 0.04},
+        "cam": {"H": 320, "W": 640, "fx": 320.0, "fy": 320.0,
+                "cx": 319.5, "cy": 159.5, "near": 0.0, "far": 10.0},
+        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1},
+    })
+    scene = SceneRep(cfg)
+    ds = SyntheticBoxDataset(cfg, num_frames=2, half=bound * 0.9)
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+
+    # --- gradient equality on ONE identical batch (the exact claim: the
+    # psum over ray shards reproduces the unsharded reduction up to fp32
+    # sum order) ---
+    from mneslam_tpu.data import rays as rays_lib
+    from mneslam_tpu.mapping import keyframe as kf_lib
+
+    mesh = pmesh.make_mesh(1)  # 1 agent x 8 ray devices
+    mapper_u = Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save)
+    mapper_s = Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save,
+                      mesh=mesh)
+    st = mapper_u.init_state(jax.random.PRNGKey(2))
+    st = mapper_u.add_keyframe(st, jnp.asarray(0), frame, pose,
+                               jax.random.PRNGKey(3))
+
+    g_rays, slot_ids = kf_lib.sample_global_rays(st.db, jax.random.PRNGKey(5),
+                                                 2048 + 104)
+    rays_o, rays_d = rays_lib.rays_from_pose(g_rays[:, :3],
+                                             st.kf_poses[slot_ids])
+    t_rgb, t_d = g_rays[:, 3:6], g_rays[:, 6:7]
+
+    def loss_u(p):
+        return mapper_u._loss_fn(p, rays_o, rays_d, t_rgb, t_d,
+                                 jax.random.PRNGKey(7))[0]
+
+    def loss_s(p):
+        ro, rd, rgb, d = mapper_s._shard_rays(rays_o, rays_d, t_rgb, t_d)
+        return mapper_s._loss_fn(p, ro, rd, rgb, d, jax.random.PRNGKey(7))[0]
+
+    lu, gu = jax.jit(jax.value_and_grad(loss_u))(st.params)
+    ls, gs = jax.jit(jax.value_and_grad(loss_s))(st.params)
+    assert abs(float(lu) - float(ls)) / max(abs(float(lu)), 1e-9) < 1e-5
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gu)[0],
+                            jax.tree.leaves(gs)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        err = np.abs(a - b).max() / scale
+        assert err < 1e-4, (jax.tree_util.keystr(path), err)
+
+    # --- full optimize() agreement stays loose: Adam's eps=1e-15
+    # normalization amplifies fp32 sum-order noise into the trajectory ---
+    losses = []
+    for mapper in (mapper_u, mapper_s):
+        st2, met = mapper.optimize(st, frame, pose, jax.random.PRNGKey(4),
+                                   iters=2)
+        losses.append(float(met["loss"]))
+    assert abs(losses[0] - losses[1]) / max(abs(losses[0]), 1e-9) < 5e-3, losses

@@ -1,5 +1,6 @@
 """Scene representation unit tests: interpolation vs scipy, weights, losses."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,6 +232,7 @@ def test_smoothness_loss():
     assert np.isfinite(float(s)) and float(s) >= 0.0
 
 
+@pytest.mark.slow
 def test_hash_grid_encoding():
     """Hash grid: shape, continuity, trainability."""
     from mneslam_tpu.ops import hashgrid

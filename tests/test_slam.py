@@ -124,6 +124,7 @@ def test_trajectory_filler_oracle():
         assert err < 5e-2, f"frame {t}: pose error {err}"
 
 
+@pytest.mark.slow
 def test_full_state_checkpoint_resume(tmp_path):
     """Interrupt a mapping run, restore into a fresh agent, continue — the
     continuation must match an uninterrupted run exactly (deterministic

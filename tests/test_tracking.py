@@ -7,6 +7,7 @@ correlation lookup plumbing, damping aggregation, padded edge tables,
 windowed BA, and keyframe removal, with known-correct supervision.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,6 +227,7 @@ def test_depth_filter_consistency():
     assert float(counts2.mean()) < 0.5
 
 
+@pytest.mark.slow
 def test_importance_sampling():
     from mneslam_tpu.config import make_config
     from mneslam_tpu.models.scene_rep import SceneRep
@@ -290,6 +292,7 @@ def test_graph_sparse_ba_matches_dense_path():
 # batched motion filter
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_motion_filter_batch_equivalence():
     """track_batch (on-device lax.scan admission loop) == per-frame track:
     same admitted flags, counter, buffer contents, and reference features."""
