@@ -144,8 +144,14 @@ def agg_apply(
     num_frames: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """GraphAgg (droid_net.py:34-67): per-source-frame mean of hidden state
-    -> damping eta [E, h, w] and upsample mask [E, 576, h, w], evaluated
-    per edge (edges of the same frame see identical values)."""
+    -> damping eta [E, h, w] (per edge, fp32 for the BA) and upsample mask
+    per FRAME [num_frames, 576, h, w] in the net dtype.
+
+    The reference gathers the mask per edge ([E, 576, h, w]) but consumes
+    it per unique frame (depth_video.upsample); the per-edge gather + fp32
+    cast materialized ~670 MB per update (2.7 ms measured in the round-3
+    frontend trace) for values nothing reads per-edge — so the mask stays
+    per-frame here. `tracking/video.upsample_disps` indexes it by frame."""
     h1 = jax.nn.relu(conv2d(p["conv1"], net, padding=1))
     # masked segment mean over source frame
     summed = jax.ops.segment_sum(h1 * mask[:, None, None, None], ii, num_segments=num_frames)
@@ -162,8 +168,7 @@ def agg_apply(
     h2 = jax.nn.relu(conv2d(p["conv2"], mean, padding=1))
     eta_n = jax.nn.softplus(clip_grad_custom(conv2d(p["eta"][0], h2, padding=1)))
     upmask_n = conv2d(p["upmask"][0], h2)
-    return (0.01 * eta_n[ii, 0]).astype(jnp.float32), \
-        upmask_n[ii].astype(jnp.float32)
+    return (0.01 * eta_n[ii, 0]).astype(jnp.float32), upmask_n
 
 
 def init_update(key) -> Dict:

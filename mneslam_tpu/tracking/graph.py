@@ -23,6 +23,19 @@ from ..ops import correlation, projective
 from . import video as video_lib
 
 
+
+def _gather_feat_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row-gather of a [N, C, h, w] feature buffer through a 2D view.
+
+    Gathering big rows on the 4D tiled layout lowers to a serialized
+    per-row copy loop (~13 GB/s measured in the round-3 frontend trace:
+    10.7 ms for 91 x 1.6 MB rows); the flat 2D row gather runs at
+    HBM bandwidth and the reshape back is a cheap relayout."""
+    N = table.shape[0]
+    flat = table.reshape(N, -1)
+    return flat[idx].reshape((idx.shape[0],) + table.shape[1:])
+
+
 @partial(jax.jit, static_argnames=("update_fn", "agg_fn"))
 def gru_chunk_step(
     state: video_lib.VideoState,
@@ -59,7 +72,7 @@ def gru_chunk_step(
 
     if update_fn is None:
         new_net, delta, weight = droid_net.update_apply(
-            params["update"], net, state.inps[ii], corr, motion
+            params["update"], net, _gather_feat_rows(state.inps, ii), corr, motion
         )
     else:
         new_net, delta, weight = update_fn(params, state, ii, jj, net, corr,
@@ -160,7 +173,7 @@ def update_step(
 
     if update_fn is None:
         new_net, delta, weight = droid_net.update_apply(
-            params["update"], net, state.inps[ii], corr, motion
+            params["update"], net, _gather_feat_rows(state.inps, ii), corr, motion
         )
     else:
         new_net, delta, weight = update_fn(params, state, ii, jj, net, corr, motion, coords1)
@@ -243,7 +256,11 @@ class FactorGraph:
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
 
-        self.net = jnp.zeros((capacity, 128, ht, wd))
+        # hidden-state table matches the tracker nets' dtype (bf16 on TPU)
+        # so update writes don't up/down-cast [cap, 128, h, w] every call
+        leaves = jax.tree.leaves(params)
+        feat_dtype = leaves[0].dtype if leaves else jnp.float32
+        self.net = jnp.zeros((capacity, 128, ht, wd), feat_dtype)
         self.target = jnp.zeros((capacity, ht, wd, 2))
         self.weight = jnp.zeros((capacity, ht, wd, 2))
 

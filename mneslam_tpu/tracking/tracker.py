@@ -42,7 +42,10 @@ class Tracker:
         self.ht, self.wd = H_out // 8, W_out // 8
         self.intrinsics = jnp.asarray(np.asarray(intrinsics_full) / 8.0)
 
-        self.state = video_lib.init_video(self.buffer, self.ht, self.wd)
+        feat_dtype = (jax.tree.leaves(params)[0].dtype
+                      if jax.tree.leaves(params) else jnp.float32)
+        self.state = video_lib.init_video(self.buffer, self.ht, self.wd,
+                                          feat_dtype=feat_dtype)
         self.counter = 0
 
         self.motion_filter = MotionFilter(params, thresh=tr["motion_filter"]["thresh"])

@@ -35,16 +35,25 @@ class VideoState(NamedTuple):
     damping: jax.Array      # [B, h, w] per-frame BA damping (graph state)
 
 
-def init_video(buffer: int, ht8: int, wd8: int, dtype=jnp.float32) -> VideoState:
+def init_video(buffer: int, ht8: int, wd8: int, dtype=jnp.float32,
+               feat_dtype=None) -> VideoState:
+    """`feat_dtype` (default = dtype): storage dtype of the fmaps/nets/inps
+    feature buffers. The bf16 tracker stores them bf16 (the reference keeps
+    half-precision fmaps under autocast, motion_filter.py:26) — geometry
+    (poses/disps/damping) always stays fp32. Halves the feature-buffer
+    footprint AND kills the per-update [E,128,h,w] f32<->bf16 converts that
+    the round-3 frontend trace showed (~5 ms/update of casts + relayout
+    copies)."""
+    fd = dtype if feat_dtype is None else feat_dtype
     return VideoState(
         timestamps=jnp.zeros((buffer,), dtype),
         poses=lie.identity((buffer,), dtype),
         poses_gt=jnp.tile(jnp.eye(4, dtype=dtype), (buffer, 1, 1)),
         disps=jnp.ones((buffer, ht8, wd8), dtype),
         disps_sens=jnp.zeros((buffer, ht8, wd8), dtype),
-        fmaps=jnp.zeros((buffer, 128, ht8, wd8), dtype),
-        nets=jnp.zeros((buffer, 128, ht8, wd8), dtype),
-        inps=jnp.zeros((buffer, 128, ht8, wd8), dtype),
+        fmaps=jnp.zeros((buffer, 128, ht8, wd8), fd),
+        nets=jnp.zeros((buffer, 128, ht8, wd8), fd),
+        inps=jnp.zeros((buffer, 128, ht8, wd8), fd),
         damping=1e-6 * jnp.ones((buffer, ht8, wd8), dtype),
     )
 

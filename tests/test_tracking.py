@@ -109,7 +109,9 @@ def test_droid_net_shapes():
     eta, upmask = droid_net.agg_apply(params["update"]["agg"], new_net, ii,
                                       jnp.ones(E), 4)
     assert eta.shape == (E, 8, 12) and float(eta.min()) >= 0.0
-    assert upmask.shape == (E, 576, 8, 12)
+    # upmask is per FRAME (consumed by upsample_disps per unique frame;
+    # the reference's per-edge gather was dead weight — round 3)
+    assert upmask.shape == (4, 576, 8, 12)
     # edges of the same source frame share agg outputs
     np.testing.assert_allclose(np.asarray(eta[0]), np.asarray(eta[1]), atol=1e-6)
 

@@ -116,27 +116,25 @@ def main():
     data, _ = raw_to_tool_data.xspace_to_tool_data(planes, "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    # framework_op_stats returns CSV
-    out_csv = os.path.join(trace_dir, "op_stats.csv")
-    with open(out_csv, "w") as f:
-        f.write(data)
-    import csv as csvlib
-    rows = list(csvlib.DictReader(data.splitlines()))
-    key_t = next((k for k in rows[0] if "total_self" in k.lower() or
-                  "self_time" in k.lower() or "self-time" in k.lower()), None)
-    print(f"columns: {list(rows[0])}", flush=True)
-    if key_t is None:
-        print(data[:3000])
-        return
-    rows.sort(key=lambda r: -float(r[key_t] or 0))
-    tot = sum(float(r[key_t] or 0) for r in rows)
-    print(f"\ntotal self time: {tot / 1e6 / n_reps:.2f} ms/rep "
+    # framework_op_stats returns a gviz JSON table (list of tables)
+    t = json.loads(data)
+    t = t[0] if isinstance(t, list) else t
+    cols = [c["label"] for c in t["cols"]]
+    rows = [[(c["v"] if isinstance(c, dict) else c) for c in r["c"]]
+            for r in t["rows"]]
+    i_self = cols.index("Total self-time (us)")
+    i_dev = cols.index("Host/device")
+    i_op = cols.index("Operation Name")
+    i_type = cols.index("Operation Type")
+    dev = [r for r in rows if str(r[i_dev]).lower().startswith("device")]
+    dev.sort(key=lambda r: -(r[i_self] or 0))
+    tot = sum(r[i_self] or 0 for r in dev)
+    print(f"\ndevice total self time: {tot / 1e3 / n_reps:.2f} ms/rep "
           f"({n_reps} reps)\n")
-    for r in rows[:top_k]:
-        t = float(r[key_t] or 0)
-        name = (r.get("operation") or r.get("op_name")
-                or r.get("Operation") or "?")
-        print(f"{t / 1e6 / n_reps:9.3f} ms  {100 * t / tot:5.1f}%  {name[:90]}")
+    for r in dev[:top_k]:
+        t_us = r[i_self] or 0
+        print(f"{t_us / 1e3 / n_reps:9.3f} ms  {100 * t_us / tot:5.1f}%  "
+              f"{str(r[i_type])[:16]:16s} {str(r[i_op])[:80]}")
 
 
 if __name__ == "__main__":
