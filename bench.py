@@ -88,7 +88,8 @@ def main():
 
     MB = 8
     ht8b, wd8b = H // 8, W // 8
-    vstate = video_lib.init_video(buffer, ht8b, wd8b)
+    feat_dtype = jax.tree.leaves(params)[0].dtype
+    vstate = video_lib.init_video(buffer, ht8b, wd8b, feat_dtype=feat_dtype)
     imgs_b = jnp.stack([img] * MB)
     deps_b = jnp.ones((MB, H, W))
     ts_b = jnp.arange(MB, dtype=jnp.float32)
@@ -110,11 +111,11 @@ def main():
     track_fps = 1.0 / per_frame
 
     # frontend update step (the per-keyframe cost): window of edges
-    state = video_lib.init_video(buffer, ht8, wd8)
+    state = video_lib.init_video(buffer, ht8, wd8, feat_dtype=feat_dtype)
     rng = np.random.default_rng(1)
     state = state._replace(
-        fmaps=jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1,
-        inps=jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1,
+        fmaps=(jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1).astype(feat_dtype),
+        inps=(jnp.asarray(rng.standard_normal((buffer, 128, ht8, wd8), np.float32)) * 0.1).astype(feat_dtype),
         disps=jnp.ones((buffer, ht8, wd8)) * 0.5,
     )
     intr8 = jnp.asarray([W / 16, W / 16, W / 16 - 0.5, H / 16 - 0.5])
@@ -170,7 +171,7 @@ def main():
         bs, hts, wds = 512, 30, 40
         cfg_s = _mkcfg({"tracking": {"buffer": bs}})
         rng_s = np.random.default_rng(7)
-        st_s = video_lib.init_video(bs, hts, wds)
+        st_s = video_lib.init_video(bs, hts, wds, feat_dtype=feat_dtype)
         # smooth synthetic trajectory so frame distances are realistic
         steps_fwd = 0.03 * rng_s.standard_normal((bs, 3)).astype(np.float32)
         trans = np.cumsum(steps_fwd, axis=0)
@@ -179,10 +180,10 @@ def main():
         poses7[:, 6] = 1.0
         st_s = st_s._replace(
             poses=jnp.asarray(poses7),
-            fmaps=jnp.asarray(rng_s.standard_normal(
-                (bs, 128, hts, wds), np.float32)) * 0.1,
-            inps=jnp.asarray(rng_s.standard_normal(
-                (bs, 128, hts, wds), np.float32)) * 0.1,
+            fmaps=(jnp.asarray(rng_s.standard_normal(
+                (bs, 128, hts, wds), np.float32)) * 0.1).astype(feat_dtype),
+            inps=(jnp.asarray(rng_s.standard_normal(
+                (bs, 128, hts, wds), np.float32)) * 0.1).astype(feat_dtype),
             disps=jnp.ones((bs, hts, wds)) * 0.7,
             disps_sens=jnp.ones((bs, hts, wds)) * 0.7,
             timestamps=jnp.arange(bs, dtype=jnp.float32),

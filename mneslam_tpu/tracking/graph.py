@@ -343,7 +343,7 @@ class FactorGraph:
 
         n0 = self.n_active
         self.net = jax.lax.dynamic_update_slice_in_dim(
-            self.net, state.nets[ii_j], n0, axis=0
+            self.net, state.nets[ii_j].astype(self.net.dtype), n0, axis=0
         )
         self.target = jax.lax.dynamic_update_slice_in_dim(self.target, target, n0, axis=0)
         self.weight = jax.lax.dynamic_update_slice_in_dim(

@@ -67,11 +67,12 @@ def run_frontend(n_reps=4):
     params = droid_net.init_droid_net(jax.random.PRNGKey(0))
     if jax.default_backend() != "cpu":
         params = droid_net.cast_params(params, jnp.bfloat16)
-    state = video_lib.init_video(buffer, ht, wd)
+    feat_dtype = jax.tree.leaves(params)[0].dtype
+    state = video_lib.init_video(buffer, ht, wd, feat_dtype=feat_dtype)
     rng = np.random.default_rng(1)
     state = state._replace(
-        fmaps=jnp.asarray(rng.standard_normal((buffer, 128, ht, wd), np.float32)) * 0.1,
-        inps=jnp.asarray(rng.standard_normal((buffer, 128, ht, wd), np.float32)) * 0.1,
+        fmaps=(jnp.asarray(rng.standard_normal((buffer, 128, ht, wd), np.float32)) * 0.1).astype(feat_dtype),
+        inps=(jnp.asarray(rng.standard_normal((buffer, 128, ht, wd), np.float32)) * 0.1).astype(feat_dtype),
         disps=jnp.ones((buffer, ht, wd)) * 0.5,
     )
     intr8 = jnp.asarray([W / 16, W / 16, W / 16 - 0.5, H / 16 - 0.5])
