@@ -191,6 +191,12 @@ def main():
         intr_s = jnp.asarray([40.0, 40.0, 20.0, 15.0])
         backend = Backend(params, intr_s, cfg_s, bs, hts, wds)
 
+        # NOTE: warm/timed pairs run on the SAME input state — a chained
+        # second call would re-propose on updated poses, change the edge
+        # count, and recompile the padded-shape programs (a 15 s "timing").
+        _ = backend._propose_edges(st_s, 0, bs, 0, backend.radius,
+                                   backend.nms, backend.thresh,
+                                   max_factors=16 * bs, loop=False)  # warm
         t0 = time.perf_counter()
         es = backend._propose_edges(st_s, 0, bs, 0, backend.radius,
                                     backend.nms, backend.thresh,
@@ -198,21 +204,19 @@ def main():
         scannet["proposal_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         scannet["edges_proposed"] = int(len(es))
 
-        # global BA: 1 warm step (compile) + timed steps, chained fetch
-        st_s2, _, n_edges = backend.dense_ba(st_s, bs, steps=1)
-        np.asarray(st_s2.poses[0])
+        st_w, _, n_edges = backend.dense_ba(st_s, bs, steps=1)  # warm/compile
+        np.asarray(st_w.poses[0])
         t0 = time.perf_counter()
-        st_s2, _, _ = backend.dense_ba(st_s2, bs, steps=1)
-        np.asarray(st_s2.poses[0])
+        st_t, _, _ = backend.dense_ba(st_s, bs, steps=1)
+        np.asarray(st_t.poses[0])
         scannet["global_ba_step_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         scannet["global_ba_edges"] = int(n_edges)
 
-        # loop BA over the full history
-        st_s3, _, n_loop = backend.loop_ba(st_s, bs, 0, bs, steps=1)
-        np.asarray(st_s3.poses[0])
+        st_w, _, n_loop = backend.loop_ba(st_s, bs, 0, bs, steps=1)
+        np.asarray(st_w.poses[0])
         t0 = time.perf_counter()
-        st_s3, _, _ = backend.loop_ba(st_s3, bs, 0, bs, steps=1)
-        np.asarray(st_s3.poses[0])
+        st_t, _, _ = backend.loop_ba(st_s, bs, 0, bs, steps=1)
+        np.asarray(st_t.poses[0])
         scannet["loop_ba_step_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         scannet["loop_ba_edges"] = int(n_loop)
 
