@@ -9,7 +9,9 @@ For N > 1 agents, per-agent configs are derived by the `_agent{rank}.yaml`
 suffix convention (multi_agents.py:45) when such files exist, else by
 splitting the trajectory evenly. Agents run as a deterministic in-process
 interleave over InMemoryComms (SURVEY.md §5.8) — `--file_comms` switches to
-the reference's on-disk exchange protocol.
+the reference's on-disk exchange protocol, and `--spawn` launches each agent
+as its own OS process over that protocol (the reference's
+`mp.Process`-per-agent deployment, multi_agents.py:44-49).
 """
 
 from __future__ import annotations
@@ -24,6 +26,39 @@ def derive_agent_config(config_path: str, rank: int) -> str:
     return cand if os.path.exists(cand) else config_path
 
 
+def _spawn_processes(args):
+    """Reference-parity multi-process launch (`multi_agents.py:44-49`):
+    one OS process per agent, exchanging through the on-disk FileComms
+    protocol. Each child runs its own SLAM loop at its own pace and polls
+    the shared output tree for foreign descriptors/keyframes/checkpoints —
+    the same lock-free asynchrony as the reference's spawned workers (a
+    late-finishing peer's final checkpoint may miss another agent's
+    end-of-run fusion pass, exactly as in the reference)."""
+    import subprocess
+    import sys
+
+    cmd_base = [sys.executable, "-m", "mneslam_tpu.cli",
+                "--config", args.config,
+                "--num_agents", str(args.num_agents), "--spawn"]
+    if args.output:
+        cmd_base += ["--output", args.output]
+    if args.mode:
+        cmd_base += ["--mode", args.mode]
+    if args.resume:
+        cmd_base += ["--resume", args.resume]
+
+    procs = []
+    for rank in range(args.num_agents):
+        print(f"spawning agent {rank}/{args.num_agents} ...", flush=True)
+        procs.append(subprocess.Popen(cmd_base + ["--spawn_rank", str(rank)]))
+    codes = [p.wait() for p in procs]
+    for rank, rc in enumerate(codes):
+        print(f"agent {rank}: exit {rc}")
+    if any(codes):
+        raise SystemExit(f"agent process failed: exit codes {codes}")
+    return codes
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="MNESLAM-TPU multi-agent SLAM")
     ap.add_argument("--config", required=True)
@@ -32,6 +67,16 @@ def main(argv=None):
     ap.add_argument("--output", default=None)
     ap.add_argument("--mode", choices=["slam", "mapping"], default=None)
     ap.add_argument("--file_comms", action="store_true")
+    ap.add_argument("--spawn", action="store_true",
+                    help="launch each agent as its own OS process over the "
+                         "on-disk FileComms protocol (the reference's "
+                         "multi_agents.py:44-49 deployment mode; one process "
+                         "per host/accelerator — select the device per child "
+                         "via the environment, e.g. JAX_PLATFORMS / TPU "
+                         "visible-device vars, as the reference does with "
+                         "CUDA_VISIBLE_DEVICES)")
+    ap.add_argument("--spawn_rank", type=int, default=None,
+                    help=argparse.SUPPRESS)  # internal: child process rank
     ap.add_argument("--device_mesh", action="store_true",
                     help="run agents as device-mesh slices: stacked map "
                          "states, one sharded super-step per round, "
@@ -41,14 +86,19 @@ def main(argv=None):
                     help="full-state checkpoint to restore before running")
     args = ap.parse_args(argv)
 
+    if args.spawn and args.num_agents > 1 and args.spawn_rank is None:
+        return _spawn_processes(args)
+
     from .agents.comms import FileComms, InMemoryComms
     from .agents.runner import MultiAgentRunner
     from .config import default_config, deep_update, load_config
     from .data.datasets import get_dataset
     from .slam import MNESLAM
 
+    ranks = (list(range(args.num_agents)) if args.spawn_rank is None
+             else [args.spawn_rank])
     agents = []
-    for rank in range(args.num_agents):
+    for rank in ranks:
         path = derive_agent_config(args.config, rank) if args.num_agents > 1 else args.config
         cfg = deep_update(default_config(), load_config(path))
         if args.output:
@@ -78,10 +128,10 @@ def main(argv=None):
             print(f"agent {rank}: {r}")
         return results
 
-    if args.file_comms:
+    if args.file_comms or args.spawn_rank is not None:
         out = os.path.join(agents[0].config["data"]["output"],
                            agents[0].config["data"]["exp_name"])
-        comms = FileComms(out, rank=0)
+        comms = FileComms(out, rank=ranks[0])
     else:
         comms = InMemoryComms()
 
@@ -95,7 +145,7 @@ def main(argv=None):
         # cross-agent loop closure fires mid-run (multi_agents.py:44-49)
         results = runner.run_slam()
 
-    for rank, r in enumerate(results):
+    for rank, r in zip(ranks, results):
         print(f"agent {rank}: {r}")
     return results
 
