@@ -69,13 +69,14 @@ def cull_mesh(
     W: int,
     depths: Optional[np.ndarray] = None,
     colors: Optional[np.ndarray] = None,
+    eps: float = 0.08,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Keep faces whose every vertex is observed by >= 1 keyframe."""
     if len(verts) == 0:
         return verts, faces, colors
     counts = np.asarray(_visible_counts(
         jnp.asarray(verts), jnp.asarray(c2w), jnp.asarray(intrinsics),
-        None if depths is None else jnp.asarray(depths), H, W))
+        None if depths is None else jnp.asarray(depths), H, W, eps=eps))
     keep_v = counts > 0
     keep_f = keep_v[faces].all(axis=1)
     remap = -np.ones(len(verts), np.int64)

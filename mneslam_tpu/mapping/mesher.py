@@ -46,33 +46,14 @@ def sdf_grid(
     bound: np.ndarray,
     voxel_size: float,
     chunk: int = 65536,
-    observed=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Dense SDF volume over `bound` [3,2] -> (volume, origin, spacing).
-
-    `observed` (optional): (kf_poses [K,4,4] c2w, intrinsics [4], H, W,
-    depths [K,H,W] or None, eps) — grid points seen by NO keyframe (outside
-    every frustum, or occluded beyond the observed depth + eps) get NaN,
-    which the truncation-aware polygonizer skips. This reproduces the
-    reference Mesher.get_mesh's observed-space bound (the keyframe TSDF
-    volume's hull, model/Mesher.py:92-157): the RAW mesh never contains
-    geometry no camera ever saw.
-    """
+    """Dense SDF volume over `bound` [3,2] -> (volume, origin, spacing)."""
     bound = np.asarray(bound, np.float32)
     sizes = [max(int(np.ceil((bound[i, 1] - bound[i, 0]) / voxel_size)) + 1, 2) for i in range(3)]
     axes = [np.linspace(bound[i, 0], bound[i, 1], sizes[i], dtype=np.float32) for i in range(3)]
     gx, gy, gz = np.meshgrid(*axes, indexing="ij")
     pts = jnp.asarray(np.stack([gx, gy, gz], axis=-1).reshape(-1, 3))
     sdf = np.asarray(_query_sdf_chunked(scene, params, pts, chunk=chunk)).copy()
-    if observed is not None:
-        from . import cull
-
-        kf_poses, intr, H, W, depths, eps = observed
-        counts = np.asarray(cull._visible_counts(
-            pts, jnp.asarray(kf_poses), jnp.asarray(intr),
-            None if depths is None else jnp.asarray(depths),
-            H=int(H), W=int(W), eps=float(eps)))
-        sdf[counts == 0] = np.nan
     spacing = np.asarray([a[1] - a[0] for a in axes], np.float32)
     return sdf.reshape(sizes), bound[:, 0].copy(), spacing
 
@@ -89,20 +70,43 @@ def extract_mesh(
     """Full pipeline: grid query -> marching tets -> vertex colors -> PLY.
 
     Truncation window follows the reference: only cubes fully inside the
-    truncation band produce surface (utils.py:95-118 passes the volume and
-    truncation into its marching cubes). With `observed` (see `sdf_grid`),
-    polygonization is additionally restricted to keyframe-observed space.
+    truncation band produce surface, and the band is **3.0 in normalized
+    SDF units** (`utils.py:96` `mcubes.marching_cubes(raw, isolevel,
+    truncation=3.0)` — the model's sdf head is trained to (t - z)/trunc,
+    scene_rep.py:333-349, so the volume is already in units of the
+    truncation distance; passing a metric band here would drop every
+    sharp observed surface whose per-voxel sdf delta exceeds it).
+
+    `observed` (optional): (kf_poses [K,4,4] c2w, intrinsics [4], H, W,
+    depths [K,H,W] or None, eps) — the extracted mesh is filtered to
+    keyframe-observed space: faces with any vertex seen by NO keyframe
+    (outside every frustum, or occluded beyond the observed depth + eps +
+    one voxel diagonal) are dropped. This reproduces the reference
+    Mesher.get_mesh observed-space bound (the keyframe TSDF hull mask,
+    model/Mesher.py:92-157,234-250): the RAW mesh never contains geometry
+    no camera ever saw. Filtering happens post-extraction (like the
+    reference's `z[~mask] = -1` grid mask, which still polygonizes surface
+    cubes at the hull boundary) so observed surfaces whose back-side cube
+    corners are occluded still produce their triangles.
     """
     bound = np.asarray(config["mapping"]["marching_cubes_bound"], np.float32) * config["scale"]
     if voxel_size is None:
         voxel_size = float(config["meshing"]["resolution"])
-    vol, origin, spacing = sdf_grid(scene, params, bound, voxel_size,
-                                    observed=observed)
-    trunc = float(config["training"]["trunc"]) * float(config["data"]["sc_factor"])
+    vol, origin, spacing = sdf_grid(scene, params, bound, voxel_size)
     verts, faces = mc.marching_cubes(
         vol, isovalue=float(config["meshing"].get("level_set", 0.0)),
-        truncation=3.0 * trunc, origin=origin, spacing=spacing,
+        truncation=3.0, origin=origin, spacing=spacing,
     )
+    if observed is not None and len(verts):
+        from . import cull
+
+        kf_poses, intr, H, W, depths, eps = observed
+        diag = float(np.linalg.norm(spacing))
+        verts, faces, _ = cull.cull_mesh(
+            verts, faces, np.asarray(kf_poses), np.asarray(intr),
+            int(H), int(W),
+            depths=None if depths is None else np.asarray(depths),
+            eps=float(eps) + diag)
     colors = None
     if color and len(verts):
         colors = np.asarray(_query_color_chunked(scene, params, jnp.asarray(verts)))
