@@ -191,6 +191,36 @@ def main():
         per_kf_fast = (time.perf_counter() - t0) / reps
         fast_hz = 1.0 / per_kf_fast
 
+    # ---- mapping, bf16 render path (training.render_dtype: bfloat16) ----
+    # The measured single-chip speed knob at reference sampling (BASELINE.md
+    # round-3: 17.1 -> 13.85 ms/iter; depth quality unaffected, PSNR floor
+    # ~47 dB — below real-scene signal).
+    bf16_hz = None
+    if not args.quick:
+        cfg_b = make_config({
+            "mapping": dict(cfg["mapping"]),
+            "planes_res": dict(cfg["planes_res"]),
+            "cam": cfg["cam"],
+            "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1,
+                         "render_dtype": "bfloat16"},
+            "tracking": {"buffer": buffer},
+        })
+        scene_b = SceneRep(cfg_b)
+        mapper_b = Mapper(cfg_b, scene_b, num_kf=8,
+                          rays_per_kf=ds.num_rays_to_save)
+        mstate_b = mapper_b.init_state(jax.random.PRNGKey(2))
+        mstate_b = mapper_b.add_keyframe(mstate_b, jnp.asarray(0), frame, pose,
+                                         jax.random.PRNGKey(3))
+        mstate_b, met_b = mapper_b.optimize(mstate_b, frame, pose,
+                                            jax.random.PRNGKey(4), iters=iters)
+        float(met_b["loss"])
+        t0 = time.perf_counter()
+        for r in range(reps):
+            mstate_b, met_b = mapper_b.optimize(
+                mstate_b, frame, pose, jax.random.PRNGKey(5 + r), iters=iters)
+            float(met_b["loss"])
+        bf16_hz = 1.0 / ((time.perf_counter() - t0) / reps)
+
     # ---- ScanNet-scale stress: buffer 512 global/loop BA (VERDICT r3 #3) ----
     # Reference workload: configs/ScanNet/scannet.yaml buffer 512, 240x320
     # (1/8-res 30x40), radius 1. Exercises the host edge proposal at t=512,
@@ -281,6 +311,7 @@ def main():
             "map_iters_per_kf": iters,
             **({"map_keyframe_hz_fast": round(fast_hz, 2),
                 "slam_fps_fast": round(slam_fps_fast, 2)} if fast_hz else {}),
+            **({"map_keyframe_hz_bf16": round(bf16_hz, 2)} if bf16_hz else {}),
             "track_frame_ms": round(per_frame * 1e3, 1),
             "track_frame_ms_batch1": round(per_frame_b1 * 1e3, 1),
             "track_batch": MB,

@@ -56,7 +56,7 @@ def make_optimizer(config) -> optax.GradientTransformation:
 
 class Mapper:
     def __init__(self, config, scene: SceneRep, num_kf: int, rays_per_kf: int,
-                 mesh=None):
+                 mesh=None, shard_plane_rows: bool = False):
         """`mesh`: optional jax.sharding.Mesh — when given, each
         optimization iteration's ray batch is sharded over every mesh
         device (both named axes) and the plane-gradient reduction rides the
@@ -66,13 +66,25 @@ class Mapper:
         sharding rays divides the scattered rows per device). The ray count
         is padded up to the device count so the batch splits evenly
         (min_pixels_cur is a lower bound in the reference too,
-        mapper.py:118-161)."""
+        mapper.py:118-161).
+
+        `shard_plane_rows` (requires mesh): additionally shard the plane
+        parameters, their Adam state, and the whole plane-gradient
+        reduce/fold over table rows (ZeRO-style). Per iteration the packed
+        corner tables are all-gathered for the forward's random row
+        gathers (`parallel.mesh.gather_table_rows`), and the backward's
+        packed cotangents reduce-scatter so the dense `pack_corners`
+        adjoint fold and Adam run on 1/N of the table per device — the
+        table-sized backward terms that do NOT shrink with the ray shard
+        (BASELINE.md round-3 ray-sharding measurement: they dominate the
+        per-device cost at rays/8)."""
         self.config = config
         self.scene = scene
         self.num_kf = num_kf
         self.rays_per_kf = rays_per_kf
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
+        self.shard_rows = bool(shard_plane_rows) and mesh is not None
         self.n_global = int(config["mapping"]["sample"])
         self.n_cur = int(config["mapping"]["min_pixels_cur"])
         if mesh is not None:
@@ -92,6 +104,8 @@ class Mapper:
 
     def init_state(self, key) -> MapperState:
         params = self.scene.init_params(key)
+        if self.shard_rows:
+            params = self._place_plane_rows(params)
         return MapperState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -99,9 +113,74 @@ class Mapper:
             kf_poses=jnp.tile(jnp.eye(4), (self.num_kf, 1, 1)),
         )
 
+    @property
+    def _n_dev(self) -> int:
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def _place_plane_rows(self, params):
+        """Place plane leaves row-sharded over every mesh device (grid
+        axis H of [C, H, W], falling back to W, falling back to
+        replication when neither divides the device count); everything
+        else replicated. The Adam state built by `optimizer.init`
+        inherits the placement via zeros_like."""
+        from ..parallel import mesh as mesh_lib
+
+        n = self._n_dev
+        rep = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec())
+
+        def place(path, leaf):
+            if path[0].key in ("planes", "c_planes") and leaf.ndim == 3:
+                for axis in (1, 2):
+                    if leaf.shape[axis] % n == 0:
+                        return jax.device_put(
+                            leaf,
+                            mesh_lib.row_sharding(self.mesh, ndim=3, axis=axis))
+            return jax.device_put(leaf, rep)
+
+        return jax.tree_util.tree_map_with_path(place, params)
+
+    def _packed_params(self, params):
+        """Swap plane leaves for all-gathered `PackedPlane` tables (the
+        replicate-fwd/shard-bwd seam of the row-sharded path). Leaves
+        whose packed row count doesn't divide the device count keep the
+        plain `sample_plane_packed` path (correct either way; at
+        reference shapes every plane divides)."""
+        from ..ops import interp
+        from ..parallel import mesh as mesh_lib
+
+        n = self._n_dev
+        gather = mesh_lib.gather_table_rows(self.mesh)
+        # under render_dtype: bfloat16 cast BEFORE pack so the all-gather /
+        # gradient reduction move half the bytes (numerically identical to
+        # the cast scene.forward would apply after the gather; the bf16
+        # gradient reduction matches the single-chip bf16 path, which folds
+        # and scatters in bf16 too)
+        cdt = self.scene.compute_dtype
+
+        def one(pl):
+            if (pl.shape[1] * pl.shape[2]) % n != 0:
+                return pl
+            shape = pl.shape
+            if pl.dtype != cdt:
+                pl = pl.astype(cdt)
+            return interp.PackedPlane(gather(interp.pack_corners(pl)), shape)
+
+        def pack(planes):
+            return {name: [one(pl) for pl in planes[name]]
+                    for name in ("xy", "xz", "yz")}
+
+        out = dict(params)
+        out["planes"] = pack(params["planes"])
+        if "c_planes" in params:
+            out["c_planes"] = pack(params["c_planes"])
+        return out
+
     # ------------------------------------------------------------------
 
     def _loss_fn(self, params, rays_o, rays_d, target_rgb, target_d, key):
+        if self.shard_rows:
+            params = self._packed_params(params)
         ret = self.scene.forward(params, rays_o, rays_d, target_rgb, target_d, key=key)
         smooth = None
         tr = self.config["training"]

@@ -202,11 +202,19 @@ class SceneRep:
             # (ops/interp.sample_plane_packed) — the autodiff backward of
             # the packed path was the mapping hot spot (prof_mapping9)
             sample = interp.sample_plane_packed
+
+        def sample_any(pl, uv):
+            # row-sharded mapping path: leaves may be pre-packed tables
+            # whose cotangent is the raw packed scatter (interp.PackedPlane)
+            if isinstance(pl, interp.PackedPlane):
+                return interp.sample_packed_table(pl.packed, uv, pl.shape)
+            return sample(pl, uv)
+
         feats = []
         for lvl in range(len(planes["xy"])):
-            xy = sample(planes["xy"][lvl], p_nor[:, [0, 1]])
-            xz = sample(planes["xz"][lvl], p_nor[:, [0, 2]])
-            yz = sample(planes["yz"][lvl], p_nor[:, [1, 2]])
+            xy = sample_any(planes["xy"][lvl], p_nor[:, [0, 1]])
+            xz = sample_any(planes["xz"][lvl], p_nor[:, [0, 2]])
+            yz = sample_any(planes["yz"][lvl], p_nor[:, [1, 2]])
             feats.append(xy + xz + yz)
         return feats
 
@@ -214,6 +222,9 @@ class SceneRep:
     def _mergeable(planes: Dict) -> bool:
         """Two levels whose grids nest (fine = k*(coarse-1)+1 nodes)."""
         if len(planes["xy"]) != 2:
+            return False
+        if any(isinstance(pl, interp.PackedPlane)
+               for lst in planes.values() for pl in lst):
             return False
         for name in ("xy", "xz", "yz"):
             c, f = planes[name][0].shape, planes[name][1].shape

@@ -219,6 +219,110 @@ def _sample_plane_bwd(res, dout):
 sample_plane_packed.defvjp(_sample_plane_fwd, _sample_plane_bwd)
 
 
+class PackedPlane:
+    """A `pack_corners` table standing in for a plane inside a params tree.
+
+    Registered as a pytree whose single child is the packed table
+    [H*W, 4C] and whose aux data is the original plane shape (C, H, W).
+    Used by the row-sharded mapping path (parallel ZeRO-style plane
+    gradients): the table is the differentiable leaf, so its cotangent is
+    the raw packed scatter — the dense `pack_corners` adjoint fold then
+    runs wherever the caller placed the pack (on the row-sharded side of
+    the collective seam), instead of per-device at full table size inside
+    `sample_plane_packed`'s VJP."""
+
+    __slots__ = ("packed", "shape")
+
+    def __init__(self, packed, shape):
+        self.packed = packed
+        self.shape = tuple(int(s) for s in shape)
+
+    def __repr__(self):
+        return f"PackedPlane(shape={self.shape})"
+
+
+jax.tree_util.register_pytree_node(
+    PackedPlane,
+    lambda p: ((p.packed,), p.shape),
+    lambda shape, children: PackedPlane(children[0], shape),
+)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sample_packed_table(packed: jax.Array, coords: jax.Array, shape) -> jax.Array:
+    """Bilinear sample where the PACKED table is the differentiable input.
+
+    packed [H*W, 4C] (a `pack_corners` table), coords [N, 2] in [-1, 1],
+    shape = (C, H, W) static. Forward is bit-identical to
+    `grid_sample_2d_packed`. The backward emits the packed-table cotangent
+    directly (one zeros+scatter-add of the [N, 4C] corner rows) WITHOUT
+    the dense unpack fold — the caller owns `pack_corners` and its
+    transpose. This is the seam the row-sharded mapper needs: per-device
+    partial packed cotangents reduce-scatter over table rows before the
+    (then row-local) fold + Adam (BASELINE.md round-3 ray-sharding
+    analysis)."""
+    out, _ = _sample_packed_fwd_impl(packed, coords, shape)
+    return out
+
+
+def _sample_packed_fwd_impl(packed, coords, shape):
+    C, H, W = shape
+    x = jnp.clip((coords[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((coords[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(packed.dtype)
+    wy = (y - y0).astype(packed.dtype)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    idx = y0i * W + x0i
+
+    g = packed[idx]                                    # [N, 4C]
+    out = (
+        g[:, 0 * C:1 * C] * ((1 - wx) * (1 - wy))[:, None]
+        + g[:, 1 * C:2 * C] * (wx * (1 - wy))[:, None]
+        + g[:, 2 * C:3 * C] * ((1 - wx) * wy)[:, None]
+        + g[:, 3 * C:4 * C] * (wx * wy)[:, None]
+    )
+    return out, (g, wx, wy, idx)
+
+
+def _sample_packed_fwd(packed, coords, shape):
+    out, (g, wx, wy, idx) = _sample_packed_fwd_impl(packed, coords, shape)
+    return out, (g, wx, wy, idx, coords)
+
+
+def _sample_packed_bwd(shape, res, dout):
+    g, wx, wy, idx, coords = res
+    C, H, W = shape
+    n_rows = H * W  # contract: packed is exactly [H*W, 4C]
+    dout = dout.astype(g.dtype)
+
+    vals = jnp.concatenate([
+        dout * ((1 - wx) * (1 - wy))[:, None],
+        dout * (wx * (1 - wy))[:, None],
+        dout * ((1 - wx) * wy)[:, None],
+        dout * (wx * wy)[:, None],
+    ], axis=-1)                                        # [N, 4C]
+    d_packed = jnp.zeros((n_rows, 4 * C), vals.dtype).at[idx].add(vals)
+
+    g00, g01, g10, g11 = (g[:, i * C:(i + 1) * C] for i in range(4))
+    gx = (g01 - g00) * (1 - wy)[:, None] + (g11 - g10) * wy[:, None]
+    gy = (g10 - g00) * (1 - wx)[:, None] + (g11 - g01) * wx[:, None]
+    mx = ((coords[:, 0] >= -1.0) & (coords[:, 0] <= 1.0)).astype(dout.dtype)
+    my = ((coords[:, 1] >= -1.0) & (coords[:, 1] <= 1.0)).astype(dout.dtype)
+    dx = jnp.sum(gx * dout, axis=-1) * (0.5 * (W - 1)) * mx
+    dy = jnp.sum(gy * dout, axis=-1) * (0.5 * (H - 1)) * my
+    d_coords = jnp.stack([dx, dy], axis=-1).astype(coords.dtype)
+    return d_packed, d_coords
+
+
+sample_packed_table.defvjp(_sample_packed_fwd, _sample_packed_bwd)
+
+
 def upsample_exact(plane: jax.Array, k: int) -> jax.Array:
     """Bilinear-exact k-times upsampling of a feature plane under
     align_corners semantics: [C, H, W] -> [C, k(H-1)+1, k(W-1)+1].

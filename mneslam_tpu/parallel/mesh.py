@@ -88,6 +88,45 @@ def make_multi_agent_train_step(scene, optimizer: optax.GradientTransformation):
     return step
 
 
+def row_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0) -> NamedSharding:
+    """Shard `axis` of an n-d table over EVERY mesh axis combined (the
+    row-sharded plane/optimizer-state placement of the ZeRO-style mapping
+    path)."""
+    spec = [None] * ndim
+    spec[axis] = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(*spec))
+
+
+def gather_table_rows(mesh: Mesh):
+    """Replicate-forward / shard-backward collective seam for parameter
+    tables.
+
+    Forward: constrain a row-sharded table to replicated — GSPMD inserts
+    an all-gather over ICI (every device needs the full table for random
+    row gathers). Backward: constrain the cotangent to row-sharded — the
+    per-device partial scatter-adds feeding it then lower to a
+    reduce-scatter instead of an all-reduce, and everything downstream of
+    the cotangent (the `pack_corners` adjoint fold, Adam) runs on the
+    local row shard only. A plain `with_sharding_constraint` can't express
+    this: its transpose re-applies the FORWARD sharding to the cotangent,
+    which would replicate the gradient and un-shard the fold."""
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+    @jax.custom_vjp
+    def f(x):
+        return jax.lax.with_sharding_constraint(x, rep)
+
+    def fwd(x):
+        return jax.lax.with_sharding_constraint(x, rep), None
+
+    def bwd(_, ct):
+        return (jax.lax.with_sharding_constraint(ct, shard),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def all_gather_descriptors(local: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     """Descriptor DB exchange: [n_agents, K, D] stack sharded over `agent`
     -> fully replicated copy on every slice, via an explicit

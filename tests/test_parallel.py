@@ -126,6 +126,61 @@ def test_ray_sharded_mapper_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_row_sharded_mapper_matches_unsharded():
+    """ZeRO-style mapper (plane params + Adam state + gradient fold
+    sharded over table rows, packed tables all-gathered per iteration via
+    `gather_table_rows`) == the unsharded Mapper, numerically. The
+    collective seam must not change the math: forward gathers from the
+    identical packed table, and the reduce-scattered packed cotangents
+    fold to the identical plane gradient."""
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping.mapper import Mapper
+
+    assert len(jax.devices()) >= 8
+    # plane dims must divide the 8-device mesh for the row placement to
+    # engage: bound len 4.0 after dividable-adjust -> coarse 8, fine 16
+    cfg = make_config({
+        "mapping": {"bound": [[-1.75, 1.75]] * 3,
+                    "marching_cubes_bound": [[-1.75, 1.75]] * 3,
+                    "sample": 64, "min_pixels_cur": 16},
+        "planes_res": {"coarse": 0.5, "fine": 0.25, "bound_dividable": 0.5},
+        "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                "cy": 11.5, "near": 0.0, "far": 5.0},
+        "training": {"n_range_d": 7, "n_samples_d": 4, "range_d": 0.2},
+        "model": {"c_dim": 8, "input_ch": 16, "input_ch_pos": 48},
+    })
+    scene = SceneRep(cfg)
+    ds = SyntheticBoxDataset(cfg, num_frames=2, half=1.6)
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+
+    mesh = pmesh.make_mesh(1)  # 1 agent x 8 ray devices
+
+    results = []
+    for kw in ({}, {"mesh": mesh, "shard_plane_rows": True}):
+        mapper = Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save,
+                        **kw)
+        st = mapper.init_state(jax.random.PRNGKey(2))
+        st = mapper.add_keyframe(st, jnp.asarray(0), frame, pose,
+                                 jax.random.PRNGKey(3))
+        st, met = mapper.optimize(st, frame, pose, jax.random.PRNGKey(4),
+                                  iters=3)
+        results.append((st, met))
+
+    (st_ref, met_ref), (st_sh, met_sh) = results
+    np.testing.assert_allclose(float(met_sh["loss"]), float(met_ref["loss"]),
+                               rtol=1e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(st_sh.params)[0],
+            jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5,
+            err_msg=jax.tree_util.keystr(path))
+    # the plane leaves really are row-sharded (not silently replicated)
+    pl = st_sh.params["planes"]["xy"][0]
+    assert not pl.sharding.is_fully_replicated
+
+
 @pytest.mark.slow
 def test_ray_sharded_mapper_matches_unsharded_reference_shapes():
     """Gradient/loss equality of sharded vs unsharded mapping at REFERENCE
