@@ -104,8 +104,6 @@ class Mapper:
 
     def init_state(self, key) -> MapperState:
         params = self.scene.init_params(key)
-        if self.shard_rows:
-            params = self._place_plane_rows(params)
         return MapperState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -117,39 +115,71 @@ class Mapper:
     def _n_dev(self) -> int:
         return int(np.prod(list(self.mesh.shape.values())))
 
-    def _place_plane_rows(self, params):
-        """Place plane leaves row-sharded over every mesh device (grid
-        axis H of [C, H, W], falling back to W, falling back to
-        replication when neither divides the device count); everything
-        else replicated. The Adam state built by `optimizer.init`
-        inherits the placement via zeros_like."""
+    @property
+    def _plane_shape_set(self):
+        shapes = {tuple(s[name]) for s in self.scene.plane_shapes
+                  for name in ("xy", "xz", "yz")}
+        if not self.scene.one_grid:
+            shapes |= {tuple(s[name]) for s in self.scene.c_plane_shapes
+                       for name in ("xy", "xz", "yz")}
+        return shapes
+
+    def _pad_h(self, H: int) -> int:
+        n = self._n_dev
+        return (H + n - 1) // n * n
+
+    @property
+    def _padded_shape_map(self):
+        """padded (C, H', W) -> true (C, H, W) for every plane leaf."""
+        return {(C, self._pad_h(H), W): (C, H, W)
+                for (C, H, W) in self._plane_shape_set}
+
+    def _shard_plane_state(self, tree):
+        """Entering `optimize` under shard_plane_rows: pad each plane-shaped
+        leaf (params or Adam moments) along grid axis H to a device-count
+        multiple (the nested fine grid is k*(coarse-1)+1 rows — always odd)
+        and pin it row-sharded. The dead rows carry zero gradients and zero
+        moments, so the pad/unpad round trip is exact. Params stay unpadded
+        and replicated AT REST (every other consumer — renderer, mesher,
+        checkpointing, fusion — sees the ordinary layout); the padded
+        sharded layout lives only inside the compiled optimization loop."""
         from ..parallel import mesh as mesh_lib
 
-        n = self._n_dev
-        rep = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec())
+        shapes = self._plane_shape_set
+        shard = mesh_lib.row_sharding(self.mesh, ndim=3, axis=1)
 
-        def place(path, leaf):
-            if path[0].key in ("planes", "c_planes") and leaf.ndim == 3:
-                for axis in (1, 2):
-                    if leaf.shape[axis] % n == 0:
-                        return jax.device_put(
-                            leaf,
-                            mesh_lib.row_sharding(self.mesh, ndim=3, axis=axis))
-            return jax.device_put(leaf, rep)
+        def f(leaf):
+            if (hasattr(leaf, "ndim") and leaf.ndim == 3
+                    and tuple(leaf.shape) in shapes):
+                C, H, W = leaf.shape
+                Hp = self._pad_h(H)
+                if Hp != H:
+                    leaf = jnp.pad(leaf, ((0, 0), (0, Hp - H), (0, 0)))
+                return jax.lax.with_sharding_constraint(leaf, shard)
+            return leaf
 
-        return jax.tree_util.tree_map_with_path(place, params)
+        return jax.tree.map(f, tree)
+
+    def _unshard_plane_state(self, tree):
+        """Leaving `optimize`: slice the pad rows back off."""
+        pmap = {k: v for k, v in self._padded_shape_map.items() if k != v}
+
+        def f(leaf):
+            if (hasattr(leaf, "ndim") and leaf.ndim == 3
+                    and tuple(leaf.shape) in pmap):
+                return leaf[:, :pmap[tuple(leaf.shape)][1]]
+            return leaf
+
+        return jax.tree.map(f, tree)
 
     def _packed_params(self, params):
-        """Swap plane leaves for all-gathered `PackedPlane` tables (the
-        replicate-fwd/shard-bwd seam of the row-sharded path). Leaves
-        whose packed row count doesn't divide the device count keep the
-        plain `sample_plane_packed` path (correct either way; at
-        reference shapes every plane divides)."""
+        """Swap (padded, row-sharded) plane leaves for all-gathered
+        `PackedPlane` tables — the replicate-fwd/shard-bwd seam of the
+        row-sharded path (parallel/mesh.gather_table_rows)."""
         from ..ops import interp
         from ..parallel import mesh as mesh_lib
 
-        n = self._n_dev
+        pmap = self._padded_shape_map
         gather = mesh_lib.gather_table_rows(self.mesh)
         # under render_dtype: bfloat16 cast BEFORE pack so the all-gather /
         # gradient reduction move half the bytes (numerically identical to
@@ -159,9 +189,9 @@ class Mapper:
         cdt = self.scene.compute_dtype
 
         def one(pl):
-            if (pl.shape[1] * pl.shape[2]) % n != 0:
-                return pl
-            shape = pl.shape
+            shape = pmap.get(tuple(pl.shape), tuple(pl.shape))
+            if shape != tuple(pl.shape):
+                pl = pl[:, :shape[1]]              # drop sharding pad rows
             if pl.dtype != cdt:
                 pl = pl.astype(cdt)
             return interp.PackedPlane(gather(interp.pack_corners(pl)), shape)
@@ -247,9 +277,16 @@ class Mapper:
 
         zero_metrics = {"loss": jnp.zeros(()), "psnr": jnp.zeros(()),
                         "rgb_loss": jnp.zeros(()), "depth_loss": jnp.zeros(())}
+        params0, opt_state0 = state.params, state.opt_state
+        if self.shard_rows:
+            params0 = self._shard_plane_state(params0)
+            opt_state0 = self._shard_plane_state(opt_state0)
         params, opt_state, metrics = jax.lax.fori_loop(
-            0, iters, step, (state.params, state.opt_state, zero_metrics)
+            0, iters, step, (params0, opt_state0, zero_metrics)
         )
+        if self.shard_rows:
+            params = self._unshard_plane_state(params)
+            opt_state = self._unshard_plane_state(opt_state)
         return state._replace(params=params, opt_state=opt_state), metrics
 
     @partial(jax.jit, static_argnames=("self",))

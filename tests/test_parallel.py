@@ -176,9 +176,15 @@ def test_row_sharded_mapper_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5,
             err_msg=jax.tree_util.keystr(path))
-    # the plane leaves really are row-sharded (not silently replicated)
-    pl = st_sh.params["planes"]["xy"][0]
-    assert not pl.sharding.is_fully_replicated
+    # the collective seam really engages: the compiled step all-gathers the
+    # packed tables (params themselves stay unpadded/replicated at rest)
+    from mneslam_tpu.mapping.mapper import Mapper as M
+    hlo = M.optimize.lower(
+        Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save,
+               mesh=mesh, shard_plane_rows=True),
+        st_ref, frame, pose, jax.random.PRNGKey(4), iters=2,
+    ).compile().as_text()
+    assert "all-gather" in hlo
 
 
 @pytest.mark.slow
