@@ -64,6 +64,9 @@ _DEFAULTS: Dict[str, Any] = {
         "optim_cur": True,
         "min_pixels_cur": 100,
         "filter_depth": False,
+        # shard the mapping optimizer + ray batch over all local devices
+        # (row-sharded ZeRO-style plane gradients — BASELINE.md round 3)
+        "shard_plane_rows": False,
         "w_sdf_fs": 5,
         "w_sdf_center": 200,
         "w_sdf_tail": 30,

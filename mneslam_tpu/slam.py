@@ -93,8 +93,19 @@ class MNESLAM:
             # SLAM mode maps every keyframe the motion filter admits —
             # bounded by the tracking buffer and the sequence length
             num_kf = min(len(dataset), int(config["tracking"]["buffer"])) + 1
+        # mapping.shard_plane_rows: shard the mapping optimizer (plane
+        # params/Adam/gradient fold) + ray batch over ALL local devices —
+        # the multi-chip mapping-throughput deployment knob (BASELINE.md
+        # round-3 row-sharded measurements; single-device mesh = no-op)
+        map_mesh = None
+        shard_rows = bool(config["mapping"].get("shard_plane_rows", False))
+        if shard_rows and len(jax.devices()) > 1:
+            from .parallel import mesh as pmesh
+            map_mesh = pmesh.make_mesh(1)
         self.mapper = Mapper(config, self.scene, num_kf=num_kf,
-                             rays_per_kf=dataset.num_rays_to_save)
+                             rays_per_kf=dataset.num_rays_to_save,
+                             mesh=map_mesh,
+                             shard_plane_rows=map_mesh is not None)
         self.map_state = self.mapper.init_state(jax.random.PRNGKey(42 + rank))
         self.key = jax.random.PRNGKey(1000 + rank)
 

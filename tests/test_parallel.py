@@ -187,6 +187,41 @@ def test_row_sharded_mapper_matches_unsharded():
     assert "all-gather" in hlo
 
 
+def test_shard_plane_rows_config_knob(tmp_path):
+    """`mapping.shard_plane_rows: true` routes MNESLAM's mapper through the
+    row-sharded optimizer over all local devices; the mapping-only pipeline
+    converges as usual."""
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.slam import MNESLAM
+
+    assert len(jax.devices()) >= 8
+    cfg = make_config({
+        "mode": "mapping",
+        "data": {"output": str(tmp_path), "exp_name": "rows"},
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3,
+            "marching_cubes_bound": [[-2.1, 2.1]] * 3,
+            "sample": 384, "min_pixels_cur": 64,
+            "first_iters": 40, "iters": 15, "keyframe_every": 3,
+            "shard_plane_rows": True,
+        },
+        "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
+        "cam": {"H": 40, "W": 56, "fx": 35.0, "fy": 35.0, "cx": 27.5,
+                "cy": 19.5, "near": 0.0, "far": 8.0},
+        "training": {"n_range_d": 9, "n_samples_d": 8, "range_d": 0.25,
+                     "trunc": 0.15},
+        "model": {"c_dim": 16, "input_ch": 32, "input_ch_pos": 48,
+                  "truncation": 0.15},
+        "meshing": {"resolution": 0.12},
+    })
+    ds = SyntheticBoxDataset(cfg, num_frames=7)
+    slam = MNESLAM(cfg, ds, rank=0)
+    assert slam.mapper.shard_rows
+    metrics = slam.run_mapping_only(log_every=100)
+    assert len(metrics) == 3
+    assert metrics[-1]["psnr"] > 14.0
+
+
 @pytest.mark.slow
 def test_ray_sharded_mapper_matches_unsharded_reference_shapes():
     """Gradient/loss equality of sharded vs unsharded mapping at REFERENCE
