@@ -126,13 +126,15 @@ def test_ray_sharded_mapper_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-def test_row_sharded_mapper_matches_unsharded():
+@pytest.mark.parametrize("one_grid", [True, False])
+def test_row_sharded_mapper_matches_unsharded(one_grid):
     """ZeRO-style mapper (plane params + Adam state + gradient fold
     sharded over table rows, packed tables all-gathered per iteration via
     `gather_table_rows`) == the unsharded Mapper, numerically. The
     collective seam must not change the math: forward gathers from the
     identical packed table, and the reduce-scattered packed cotangents
-    fold to the identical plane gradient."""
+    fold to the identical plane gradient. Covers both grid.oneGrid modes
+    (the False variant routes separate color planes through the seam)."""
     from mneslam_tpu.data.synthetic import SyntheticBoxDataset
     from mneslam_tpu.mapping.mapper import Mapper
 
@@ -140,6 +142,8 @@ def test_row_sharded_mapper_matches_unsharded():
     # plane dims must divide the 8-device mesh for the row placement to
     # engage: bound len 4.0 after dividable-adjust -> coarse 8, fine 16
     cfg = make_config({
+        "grid": {"oneGrid": one_grid},
+        "c_planes_res": {"coarse": 0.5, "fine": 0.25},
         "mapping": {"bound": [[-1.75, 1.75]] * 3,
                     "marching_cubes_bound": [[-1.75, 1.75]] * 3,
                     "sample": 64, "min_pixels_cur": 16},
