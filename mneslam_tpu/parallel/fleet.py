@@ -142,6 +142,18 @@ class MeshAgentFleet:
         n = len(agents)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(n)
         self.mapper = agents[0].mapper
+        if getattr(self.mapper, "shard_rows", False) or self.mapper.mesh is not None:
+            # mapping.shard_plane_rows is the SINGLE-agent multi-chip knob;
+            # the fleet already shards over (agent x ray) and vmaps the
+            # mapper, so per-agent sharding constraints over a different
+            # mesh cannot compose — run the fleet with a plain mapper.
+            from ..mapping.mapper import Mapper
+
+            print("[fleet] mapping.shard_plane_rows/mapper mesh ignored under "
+                  "the mesh fleet (agents shard the mesh already)")
+            self.mapper = Mapper(self.mapper.config, self.mapper.scene,
+                                 num_kf=self.mapper.num_kf,
+                                 rays_per_kf=self.mapper.rays_per_kf)
         shapes = [jax.tree.map(jnp.shape, a.map_state) for a in agents]
         if any(s != shapes[0] for s in shapes[1:]):
             raise ValueError("mesh fleet requires identical map-state shapes "

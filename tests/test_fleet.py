@@ -226,3 +226,17 @@ def test_mesh_comms_descriptor_roundtrip():
     np.testing.assert_allclose(by_key[(0, 0)], vecs[0], atol=1e-6)
     np.testing.assert_allclose(by_key[(1, 2)], vecs[1], atol=1e-6)
     np.testing.assert_allclose(by_key[(0, 4)], vecs[2], atol=1e-6)
+
+
+def test_fleet_overrides_row_sharded_mapper(tmp_path):
+    """mapping.shard_plane_rows is the single-agent multi-chip knob; under
+    the mesh fleet (which shards over agents and vmaps the mapper) it must
+    be ignored, not crash: the fleet builds a plain-mapper clone."""
+    cfg = fleet_cfg(tmp_path, exp="rows")
+    cfg["mapping"]["shard_plane_rows"] = True
+    agents = make_agents(cfg, tmp_path, "rows")
+    assert agents[0].mapper.shard_rows            # per-agent knob engaged
+    fleet = MeshAgentFleet(agents)
+    assert not getattr(fleet.mapper, "shard_rows", False)
+    logs = fleet.run_mapping_only()
+    assert all(np.isfinite(m["loss"]) for log in logs for m in log)
