@@ -65,6 +65,22 @@ def main():
                     "GraphAgg damping/upmask, BA on predicted targets) runs "
                     "end-to-end at realistic shapes and iteration counts; "
                     "the run asserts every pose/disparity stays finite")
+    ap.add_argument("--thresh", type=float, default=-1.0,
+                    help="motion-filter admission threshold in px (-1 = "
+                    "admit every frame; 4.0 = the reference's Replica/"
+                    "ScanNet setting, configs/Replica/replica.yaml:62-63)")
+    ap.add_argument("--buffer", type=int, default=0,
+                    help="keyframe buffer size (0 = frames+2; set 512 for "
+                    "the ScanNet-scale stress shape)")
+    ap.add_argument("--global-ba-every", type=int, default=1000,
+                    help="run full-history dense BA every N admitted "
+                    "keyframes (reference: continuous global-BA thread)")
+    ap.add_argument("--enable-loop", action="store_true",
+                    help="enable the frontend's windowed loop BA "
+                    "(backend.loop_ba) as in ScanNet configs")
+    ap.add_argument("--fast", action="store_true",
+                    help="use the fast mapping profile (8 depth samples, "
+                    "25 iters — equal quality, BASELINE.md)")
     args = ap.parse_args()
     H, W = (int(x) for x in args.hw.split(","))
     fx = W / 2.0
@@ -74,19 +90,23 @@ def main():
         "data": {"output": args.out, "exp_name": "eval"},
         "mapping": {
             "bound": [[-2.2, 2.2]] * 3, "marching_cubes_bound": [[-2.05, 2.05]] * 3,
-            "sample": 2048, "min_pixels_cur": 100, "first_iters": 200, "iters": 50,
-            "keyframe_every": 5, "global_ba_every": 1000,
+            "sample": 2048, "min_pixels_cur": 100, "first_iters": 200,
+            "iters": 25 if args.fast else 50,
+            "keyframe_every": 5, "global_ba_every": args.global_ba_every,
         },
         "planes_res": {"coarse": 0.08, "fine": 0.04, "bound_dividable": 0.08},
         "cam": {"H": H, "W": W, "fx": fx, "fy": fx, "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
                 "H_out": H, "W_out": W, "near": 0.0, "far": 8.0},
-        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1, "trunc": 0.1},
+        "training": {"n_range_d": 11, "n_samples_d": 8 if args.fast else 32,
+                     "range_d": 0.1, "trunc": 0.1},
         "model": {"c_dim": 32, "input_ch": 64, "input_ch_pos": 48, "truncation": 0.1},
         "meshing": {"resolution": 0.04},
         "tracking": {
-            "buffer": args.frames + 2, "warmup": 8, "upsample": False,
-            "motion_filter": {"thresh": -1.0},
-            "frontend": {"enable_loop": False, "keyframe_thresh": -1.0,
+            "buffer": args.buffer or args.frames + 2, "warmup": 8,
+            "upsample": False,
+            "motion_filter": {"thresh": args.thresh},
+            "frontend": {"enable_loop": args.enable_loop,
+                         "keyframe_thresh": -1.0,
                          "window": 25, "radius": 1, "max_factors": 75,
                          "nms": 0, "thresh": 25.0},
             "backend": {"thresh": 25.0, "radius": 1, "nms": 2, "loop_window": 25,
