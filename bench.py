@@ -159,9 +159,10 @@ def main():
     map_hz = 1.0 / per_kf
 
     # ---- mapping, fast profile (deployment default when rate matters) ----
-    # 8 depth-guided samples / 25 iters: measured equal-quality to the
-    # reference sampling profile on held-out views (BASELINE.md fast-mapping
-    # table: 45.0 vs 44.8 dB PSNR, depth L1 0.20 vs 0.23 cm).
+    # 8 depth-guided samples / 25 iters / bf16 render (the room0_fast.yaml
+    # defaults): measured equal-quality to the reference sampling profile
+    # on held-out views (BASELINE.md fast-mapping table + round-3 bf16 A/B:
+    # 49.1 vs 48.5 dB PSNR, depth L1 0.29 vs 0.27 cm).
     fast_hz = None
     if not args.quick:
         cfg_f = make_config({
@@ -171,7 +172,8 @@ def main():
             "planes_res": {"coarse": coarse, "fine": fine,
                            "bound_dividable": coarse},
             "cam": cfg["cam"],
-            "training": {"n_range_d": 11, "n_samples_d": 8, "range_d": 0.1},
+            "training": {"n_range_d": 11, "n_samples_d": 8, "range_d": 0.1,
+                         "render_dtype": "bfloat16"},
             "tracking": {"buffer": buffer},
         })
         scene_f = SceneRep(cfg_f)

@@ -22,7 +22,10 @@ fold) to show what row sharding can and cannot shrink.
 Protocol: CLAUDE.md direct timing only (K-iter jitted fori_loop chain ->
 scalar, median of 5 fetch-synced walls / K).
 
-Usage: python tools/prof_zero.py [n_shards]   (default 8)
+Usage: python tools/prof_zero.py [n_shards] [--bf16]   (default 8)
+`--bf16`: training.render_dtype bfloat16 — planes cast BEFORE pack as the
+mapper does, so the gathered tables, scatter, and sharded fold all run
+(and would collectively move) half the bytes.
 """
 
 import json
@@ -54,7 +57,9 @@ def timed(name, fn, *args):
 
 
 def main():
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    argv = [a for a in sys.argv[1:] if a != "--bf16"]
+    bf16 = "--bf16" in sys.argv
+    n_shards = int(argv[0]) if argv else 8
     n_global, n_cur = 2048 // n_shards, 104 // n_shards
 
     from mneslam_tpu.config import make_config
@@ -75,7 +80,8 @@ def main():
         "cam": {"H": H, "W": W, "fx": W / 2, "fy": W / 2,
                 "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
                 "H_out": H, "W_out": W, "near": 0.0, "far": 10.0},
-        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1},
+        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1,
+                     "render_dtype": "bfloat16" if bf16 else "float32"},
     })
     scene = SceneRep(cfg)
     ds = SyntheticBoxDataset(cfg, num_frames=2, half=bound * 0.9)
@@ -98,6 +104,8 @@ def main():
     results = {"n_shards": n_shards, "packed_mb": tbl_bytes / 1e6}
 
     # ---- local-shard params (rows/n_shards of each plane) + rest tables --
+    cdt = scene.compute_dtype
+
     def split_local(params):
         local, rest = {"planes": {}, "decoder": params["decoder"]}, {}
         for name in ("xy", "xz", "yz"):
@@ -108,7 +116,7 @@ def main():
                 hloc = Hp // n_shards
                 local["planes"][name].append(pl[:, :hloc])
                 rest[name].append(
-                    interp.pack_corners(pl)[hloc * Wp:])   # [(H-hloc)W, 4C]
+                    interp.pack_corners(pl.astype(cdt))[hloc * Wp:])
         return local, rest
 
     p_local, rest_tables = split_local(st.params)
@@ -127,7 +135,8 @@ def main():
             for lvl, loc in enumerate(pl_params["planes"][name]):
                 full_shape = full_shapes[name][lvl]
                 pk = jnp.concatenate(
-                    [interp.pack_corners(loc), rest[name][lvl]], axis=0)
+                    [interp.pack_corners(loc.astype(cdt)), rest[name][lvl]],
+                    axis=0)
                 planes_packed[name].append(interp.PackedPlane(pk, full_shape))
         params = {"planes": planes_packed, "decoder": pl_params["decoder"]}
 
