@@ -142,7 +142,7 @@ def _corr_edge(
     return corr.T.reshape(-1, H, W)
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "interpret", "mxu"))
 def alt_corr_pallas_ml(
     fmaps: jax.Array,
     ii: jax.Array,
@@ -151,11 +151,13 @@ def alt_corr_pallas_ml(
     radius: int = 3,
     interpret: bool = False,
     mask: jax.Array | None = None,
+    mxu: bool = False,
 ) -> jax.Array:
     """Single-kernel (all 4 pyramid levels fused) Pallas correlation.
 
     `mask` [E] (optional): edges with 0 are padding — the kernel skips
-    their per-pixel loop and zeroes their outputs."""
+    their per-pixel loop and zeroes their outputs. `mxu`: batched-matmul
+    window dots (MNESLAM_CORR_IMPL=pallas_mxu)."""
     from . import pallas_kernels
 
     pyr = build_pyramid(fmaps)
@@ -189,7 +191,7 @@ def alt_corr_pallas_ml(
     xs = jnp.stack(xs_levels, axis=-1)                       # [E, HW, 4]
     corr_int = pallas_kernels.corr_window_int_multilevel(
         f1_rows, f2_levels, ii.astype(jnp.int32), jj.astype(jnp.int32),
-        xs, nx, w2ps, mask=mask, interpret=interpret,
+        xs, nx, w2ps, mask=mask, interpret=interpret, mxu=mxu,
     ).reshape(E, HW, 4, nx, nx)
 
     out_levels = []
@@ -300,9 +302,9 @@ def alt_corr(
     impl = os.environ.get("MNESLAM_CORR_IMPL")
     if impl is None:
         impl = "xla" if jax.default_backend() == "cpu" else "pallas"
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_mxu"):
         return alt_corr_pallas_ml(fmaps, ii, jj, coords, radius=radius,
-                                  mask=mask)
+                                  mask=mask, mxu=impl == "pallas_mxu")
     if impl == "pallas_per_level":
         out = alt_corr_pallas(fmaps, ii, jj, coords, radius=radius)
     else:

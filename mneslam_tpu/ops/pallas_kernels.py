@@ -111,6 +111,68 @@ def _corr_window_kernel_ml(
             o[...] = jnp.zeros_like(o)
 
 
+def _corr_window_kernel_ml_mxu(
+    ii_ref, jj_ref, mask_ref,
+    f1_ref,
+    f2_0, f2_1, f2_2, f2_3,
+    xs_0, xs_1, xs_2, xs_3,
+    out_0, out_1, out_2, out_3,
+    *,
+    hw: int,
+    nx: int,
+    w2ps,
+):
+    """MXU variant: batch U pixels' window dots into one matmul per level.
+
+    Per block of U pixels and level l: assemble S [U*nx*nx, C] from the
+    same sublane slices as the VPU kernel, compute S @ f1_blockᵀ on the
+    MXU ([U*nx², C] x [C, U] — U-fold redundant flops, but the MXU's
+    throughput advantage over the VPU lane-reduce can absorb >U x), then
+    pick each pixel's own column with a one-hot contraction."""
+    f2_refs = (f2_0, f2_1, f2_2, f2_3)
+    xs_refs = (xs_0, xs_1, xs_2, xs_3)
+    out_refs = (out_0, out_1, out_2, out_3)
+
+    U = next(u for u in (16, 8, 4, 2, 1) if hw % u == 0)
+    nn = nx * nx
+
+    def run():
+        eye = jax.lax.broadcasted_iota(jnp.int32, (U, U), 0) == \
+            jax.lax.broadcasted_iota(jnp.int32, (U, U), 1)
+
+        def body(pb, _):
+            f1b = f1_ref[0, pl.ds(pb * U, U), :]               # [U, C]
+            for lvl in range(4):
+                rows = []
+                for u in range(U):
+                    p = pb * U + u
+                    start = xs_refs[lvl][0, p, 0]
+                    rows += [f2_refs[lvl][0, pl.ds(start + j * w2ps[lvl], nx), :]
+                             for j in range(nx)]
+                S = jnp.concatenate(rows, axis=0)              # [U*nn, C]
+                dots = jax.lax.dot_general(
+                    S, f1b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [U*nn, U]
+                d4 = dots.reshape(U, nn, U)
+                res = jnp.sum(d4 * eye[:, None, :].astype(d4.dtype), axis=-1)
+                out_refs[lvl][0, pl.ds(pb * U, U), :] = res.astype(
+                    out_refs[lvl].dtype)
+            return 0
+
+        jax.lax.fori_loop(0, hw // U, body, 0)
+
+    e = pl.program_id(0)
+
+    @pl.when(mask_ref[e] != 0)
+    def _():
+        run()
+
+    @pl.when(mask_ref[e] == 0)
+    def _():
+        for o in out_refs:
+            o[...] = jnp.zeros_like(o)
+
+
 def corr_window_int_multilevel(
     f1_rows: jax.Array,        # [N, HW, C]
     f2_levels,                 # list of 4 [N, H2W2p_l, C]
@@ -121,12 +183,14 @@ def corr_window_int_multilevel(
     w2ps,                      # tuple of 4 padded widths
     mask: jax.Array | None = None,   # [E] int, 0 = padded edge (skipped)
     interpret: bool = False,
+    mxu: bool = False,
 ) -> jax.Array:
     """All 4 pyramid levels in one kernel -> [E, HW, 4*nx*nx] (j-major per
     level). Amortizes the per-pixel loop overhead and the f1 row read 4x
     versus one kernel per level. Edges with mask 0 skip the per-pixel loop
     (zeroed outputs) — the fixed-capacity edge table is typically ~20%
-    padding (measured 64 -> 55 ms at 75/91 real edges, tools/prof_corr4.py)."""
+    padding (measured 64 -> 55 ms at 75/91 real edges, tools/prof_corr4.py).
+    `mxu`: batched-matmul window dots (see _corr_window_kernel_ml_mxu)."""
     E = ii.shape[0]
     N, HW, C = f1_rows.shape
     if mask is None:
@@ -157,7 +221,8 @@ def corr_window_int_multilevel(
             for _ in range(4)
         ),
     )
-    kernel = functools.partial(_corr_window_kernel_ml, hw=HW, nx=nx, w2ps=tuple(w2ps))
+    kfn = _corr_window_kernel_ml_mxu if mxu else _corr_window_kernel_ml
+    kernel = functools.partial(kfn, hw=HW, nx=nx, w2ps=tuple(w2ps))
     xs_args = [xs[..., l:l + 1].astype(jnp.int32) for l in range(4)]
     outs = pl.pallas_call(
         kernel,

@@ -424,3 +424,31 @@ def test_graph_update_lowmem_matches_monolithic():
 
     for a, b in zip(results["mono"], results["chunked"]):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_alt_corr_pallas_mxu_variant_matches():
+    """The MXU-batched window-dot variant (MNESLAM_CORR_IMPL=pallas_mxu)
+    is numerically identical to the shipped VPU kernel up to matmul
+    accumulation order. (Kept as a documented alternative: measured
+    slightly SLOWER on v5e — 30.0 vs 28.0 ms at frontend shapes,
+    tools/prof_corr_mxu.py — the kernel is slab-assembly-bound.)"""
+    key = jax.random.PRNGKey(9)
+    N, C = 3, 8
+    fmaps = jax.random.normal(key, (N, C, HT, WD))
+    coords = jnp.stack(
+        [jax.random.uniform(jax.random.fold_in(key, 1), (HT, WD),
+                            minval=-2, maxval=WD + 1),
+         jax.random.uniform(jax.random.fold_in(key, 2), (HT, WD),
+                            minval=-2, maxval=HT + 1)],
+        axis=-1,
+    )
+    ii = jnp.asarray([0, 1, 0])
+    jj = jnp.asarray([1, 2, 2])
+    mask = jnp.asarray([1, 0, 1], jnp.int32)
+    args = (fmaps, ii, jj, jnp.stack([coords] * 3))
+    a = correlation.alt_corr_pallas_ml(*args, radius=3, interpret=True,
+                                       mask=mask)
+    b = correlation.alt_corr_pallas_ml(*args, radius=3, interpret=True,
+                                       mask=mask, mxu=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
