@@ -46,7 +46,12 @@ def align_pose_by_render(
     depth_weight: float = 0.1,
     rot_rep: str = "axis_angle",
 ):
-    """Returns (best_target_c2w [4,4], best_loss)."""
+    """Returns (best_target_c2w [4,4], best_loss, init_loss).
+
+    `init_loss` is the render-consistency loss at `target_c2w_init` before
+    any optimization — callers gate closure acceptance on how much the
+    alignment actually improved the match (a spurious place-recognition hit
+    leaves best_loss ~ init_loss)."""
     S = rays_d_cam.shape[0]
 
     # teacher render from the base model at the base pose (no grad)
@@ -84,8 +89,8 @@ def align_pose_by_render(
         return (p, o, best_loss, best_c2w), loss
 
     init = (params0, opt_state0, jnp.inf, target_c2w_init)
-    (p, _, best_loss, best_c2w), _ = jax.lax.scan(step, init, None, length=iters)
-    return best_c2w, best_loss
+    (p, _, best_loss, best_c2w), losses = jax.lax.scan(step, init, None, length=iters)
+    return best_c2w, best_loss, losses[0]
 
 
 @jax.jit

@@ -58,6 +58,14 @@ class AgentCollaboration:
         self.fused_agents: set[int] = set()
         self.fused_frame_ids: set = set()
         self.aligned_poses_c2w: Optional[jax.Array] = None
+        # accepted closure: the best (lowest render-loss) inter-agent
+        # transform seen so far, re-applied to the growing raw trajectory
+        # on every publish (the reference applies EVERY closure's transform
+        # unconditionally, mapper.py:417-489 — one badly-converged late
+        # alignment then wrecks the whole exported trajectory)
+        self.closure_relative: Optional[np.ndarray] = None
+        self.closure_loss: float = float("inf")
+        self.closure_loop_ts: float = -1.0
         self._foreign_scenes: Dict[int, SceneRep] = {}
 
     # ------------------------------------------------------------------
@@ -66,10 +74,9 @@ class AgentCollaboration:
 
     def publish(self, kf_poses_c2w: np.ndarray, kf_timestamps: np.ndarray):
         slam = self.slam
+        self._apply_closure(kf_poses_c2w, kf_timestamps)
         if self.aligned_poses_c2w is not None:
-            n = min(len(self.aligned_poses_c2w), len(kf_poses_c2w))
-            kf_poses_c2w = np.asarray(self.aligned_poses_c2w)[:n]
-            kf_timestamps = kf_timestamps[:n]
+            kf_poses_c2w = np.asarray(self.aligned_poses_c2w)
         self.comms.publish_keyframes(slam.rank, kf_poses_c2w, kf_timestamps)
         self.comms.publish_checkpoint(
             slam.rank, slam.map_state.params,
@@ -165,7 +172,7 @@ class AgentCollaboration:
         idx = np.random.default_rng(current_map_id).integers(0, len(rays_d_cam), sample)
         rays = jnp.asarray(rays_d_cam[idx])
 
-        best_c2w, best_loss = fusion.align_pose_by_render(
+        best_c2w, best_loss, init_loss = fusion.align_pose_by_render(
             scene_for_base, params_for_base, scene_for_target, params_for_target,
             base_c2w, target_c2w, rays, jax.random.PRNGKey(current_map_id),
             iters=int(cfg["mapping"]["loop_iters"]),
@@ -183,19 +190,48 @@ class AgentCollaboration:
             # the raw trajectory — never the previous aligned one, which
             # would compound corrections across repeated closures (the
             # reference's mapper.py:417-489 deforms its latest aligned
-            # poses, divergent under repeated loop hits)
-            poses = jnp.asarray(kf_poses_c2w)
-            hits = np.nonzero(kf_timestamps[: len(poses)] == current_map_id)[0]
-            loop_idx = int(hits[0]) if len(hits) else len(poses) - 1
+            # poses, divergent under repeated loop hits).
+            #
+            # Acceptance gate (deviation from the reference, which applies
+            # every closure unconditionally): a closure only counts if the
+            # render alignment CONVERGED — best loss under an absolute bar
+            # or clearly below the init-pose loss (a spurious descriptor
+            # match leaves it ~init). Among accepted closures the lowest
+            # loss wins; the stored transform is re-applied to the growing
+            # raw trajectory on every publish.
             lc = cfg.get("loop_closure", {})
-            self.aligned_poses_c2w = fusion.deform_trajectory(
-                poses, jnp.asarray(loop_idx), relative,
-                decay_sigma=float(lc.get("pose_decay_sigma", 10.0)),
-                min_weight=float(lc.get("pose_decay_min_weight", 0.1)),
+            best, init = float(best_loss), float(init_loss)
+            accepted = (
+                best <= float(lc.get("accept_loss", 0.05))
+                or best <= float(lc.get("accept_ratio", 0.25)) * init
             )
-            print(f"[agent {slam.rank}] loop with agent {other}: aligned "
-                  f"{len(poses)} keyframes (loss {float(best_loss):.5f})")
+            if accepted and best < self.closure_loss:
+                self.closure_relative = np.asarray(relative)
+                self.closure_loss = best
+                self.closure_loop_ts = float(current_map_id)
+                print(f"[agent {slam.rank}] loop with agent {other}: "
+                      f"accepted closure (loss {best:.5f}, init {init:.5f})")
+            elif not accepted:
+                print(f"[agent {slam.rank}] loop with agent {other}: "
+                      f"rejected closure (loss {best:.5f}, init {init:.5f})")
+            self._apply_closure(kf_poses_c2w, kf_timestamps)
         return relative
+
+    def _apply_closure(self, kf_poses_c2w: np.ndarray, kf_timestamps: np.ndarray):
+        """Deform the current raw keyframe trajectory with the stored best
+        closure transform (SLERP decay about the closure keyframe)."""
+        if self.closure_relative is None:
+            return
+        poses = jnp.asarray(kf_poses_c2w)
+        hits = np.nonzero(
+            np.asarray(kf_timestamps)[: len(poses)] == self.closure_loop_ts)[0]
+        loop_idx = int(hits[0]) if len(hits) else len(poses) - 1
+        lc = self.slam.config.get("loop_closure", {})
+        self.aligned_poses_c2w = fusion.deform_trajectory(
+            poses, jnp.asarray(loop_idx), jnp.asarray(self.closure_relative),
+            decay_sigma=float(lc.get("pose_decay_sigma", 10.0)),
+            min_weight=float(lc.get("pose_decay_min_weight", 0.1)),
+        )
 
     # ------------------------------------------------------------------
     # bound-overlap fusion (mapper.py:646-706)

@@ -151,7 +151,16 @@ _DEFAULTS: Dict[str, Any] = {
     "c_planes_res": {"coarse": 0.24, "fine": 0.12},
     "model": {"c_dim": 32, "truncation": 0.1, "input_ch": 64, "input_ch_pos": 48},
     "distillation": {"use_bound_overlap": True},
-    "loop_closure": {"pose_decay_sigma": 10.0, "pose_decay_min_weight": 0.1},
+    "loop_closure": {
+        "pose_decay_sigma": 10.0,
+        "pose_decay_min_weight": 0.1,
+        # closure acceptance (agents/runner.handle_loop_closure): a render
+        # alignment counts only if best loss <= accept_loss or it improved
+        # the init-pose loss by accept_ratio; the lowest-loss accepted
+        # closure is the one applied to the exported trajectory
+        "accept_loss": 0.05,
+        "accept_ratio": 0.25,
+    },
     "loop_detection": {
         "enabled": False,
         "sim_threshold": 0.8,

@@ -95,6 +95,91 @@ def test_deform_trajectory_limits():
     assert abs(dy[2] - 1.0) < 1e-5
 
 
+def test_closure_acceptance_gate(monkeypatch):
+    """handle_loop_closure applies only CONVERGED alignments and keeps the
+    lowest-loss one: a badly-converged late closure (spurious descriptor
+    match) must not displace an earlier good transform, and publish()
+    re-applies the stored transform to the growing trajectory. (The
+    reference applies every closure unconditionally, mapper.py:417-489 —
+    one bad alignment then wrecks the whole exported trajectory.)"""
+    from types import SimpleNamespace
+
+    from mneslam_tpu.agents import fusion as fusion_mod
+    from mneslam_tpu.agents.runner import AgentCollaboration
+    from mneslam_tpu.agents.netvlad import stub_descriptor
+
+    cfg = tiny_cfg()
+    cfg["loop_closure"] = {"pose_decay_sigma": 1e6, "pose_decay_min_weight": 1.0,
+                           "accept_loss": 0.05, "accept_ratio": 0.25}
+    H, W = cfg["cam"]["H"], cfg["cam"]["W"]
+    dirs = np.random.default_rng(0).standard_normal((H, W, 3)).astype(np.float32)
+    slam = SimpleNamespace(
+        config=cfg, rank=1, world_size=2,
+        scene=SimpleNamespace(bounding_box=np.asarray(cfg["mapping"]["bound"])),
+        map_state=SimpleNamespace(params={}),
+        dataset={0: {"direction": dirs}},
+    )
+    comms = InMemoryComms()
+    collab = AgentCollaboration(slam, comms, descriptor_fn=stub_descriptor)
+    monkeypatch.setattr(collab, "_load_foreign", lambda rank: (object(), {}))
+
+    # agent 0's published keyframes (base side of the closure)
+    base_pose = np.eye(4, dtype=np.float32)
+    base_pose[:3, 3] = [1.0, 0.5, 0.0]
+    comms.publish_keyframes(0, base_pose[None], np.asarray([7.0]))
+
+    # agent 1's raw (own-world) keyframes: spread along x
+    def poses_of(n):
+        p = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        p[:, 0, 3] = np.arange(n, dtype=np.float32)
+        return p
+
+    cur = np.eye(4, dtype=np.float32)
+    cur[:3, 3] = [2.0, 0.0, 0.0]
+
+    returns = {}
+
+    def fake_align(*a, **k):
+        return returns["best_c2w"], jnp.asarray(returns["best"]), jnp.asarray(returns["init"])
+
+    monkeypatch.setattr(fusion_mod, "align_pose_by_render", fake_align)
+    info = {"match_agent_id": 0, "match_kf_id": 7}
+
+    # 1) converged closure: accepted, min_weight=1 -> aligned = rel @ poses
+    returns.update(best_c2w=jnp.asarray(cur), best=0.01, init=0.2)
+    collab.handle_loop_closure(info, 3, cur, poses_of(4), np.arange(4.0))
+    rel1 = base_pose @ np.linalg.inv(cur)
+    np.testing.assert_allclose(np.asarray(collab.aligned_poses_c2w),
+                               rel1 @ poses_of(4), atol=1e-5)
+    assert collab.closure_loss == pytest.approx(0.01)
+
+    # 2) badly-converged closure (loss ~ init): REJECTED, stored transform
+    #    still applied to the (longer) trajectory passed in
+    garbage = np.eye(4, dtype=np.float32)
+    garbage[:3, 3] = [55.0, -30.0, 10.0]
+    returns.update(best_c2w=jnp.asarray(garbage), best=0.4, init=0.45)
+    collab.handle_loop_closure(info, 5, cur, poses_of(6), np.arange(6.0))
+    assert collab.closure_loss == pytest.approx(0.01)
+    np.testing.assert_allclose(np.asarray(collab.aligned_poses_c2w),
+                               rel1 @ poses_of(6), atol=1e-5)
+
+    # 3) better-converged closure: replaces the stored transform
+    cur2 = np.eye(4, dtype=np.float32)
+    cur2[:3, 3] = [2.0, 0.1, 0.0]
+    returns.update(best_c2w=jnp.asarray(cur2), best=0.001, init=0.2)
+    collab.handle_loop_closure(info, 6, cur, poses_of(7), np.arange(7.0))
+    rel3 = base_pose @ np.linalg.inv(cur2)
+    np.testing.assert_allclose(np.asarray(collab.aligned_poses_c2w),
+                               rel3 @ poses_of(7), atol=1e-5)
+
+    # 4) publish re-applies the stored transform to new keyframes and
+    #    publishes the full-length aligned trajectory
+    collab.publish(poses_of(9), np.arange(9.0))
+    pub_poses, pub_ts = comms.get_keyframes(1)
+    assert len(pub_poses) == 9
+    np.testing.assert_allclose(np.asarray(pub_poses), rel3 @ poses_of(9), atol=1e-5)
+
+
 @pytest.mark.slow
 def test_render_pose_alignment_recovers_perturbation(tmp_path):
     """Train a map, perturb a pose, recover it by render alignment."""
@@ -115,7 +200,7 @@ def test_render_pose_alignment_recovers_perturbation(tmp_path):
 
     rays_d = jnp.asarray(np.asarray(ds[0]["direction"]).reshape(-1, 3)[
         np.random.default_rng(0).integers(0, 40 * 56, 256)])
-    best_c2w, best_loss = fusion.align_pose_by_render(
+    best_c2w, best_loss, init_loss = fusion.align_pose_by_render(
         slam.scene, slam.map_state.params, slam.scene, slam.map_state.params,
         base_c2w, target_init, rays_d, jax.random.PRNGKey(0),
         iters=60, lr_rot=0.01, lr_trans=0.01,
@@ -123,6 +208,8 @@ def test_render_pose_alignment_recovers_perturbation(tmp_path):
     err0 = float(jnp.linalg.norm(target_init[:3, 3] - base_c2w[:3, 3]))
     err1 = float(jnp.linalg.norm(best_c2w[:3, 3] - base_c2w[:3, 3]))
     assert err1 < 0.5 * err0, f"pose alignment failed: {err0:.4f} -> {err1:.4f}"
+    # convergence is visible in the loss pair the acceptance gate uses
+    assert float(best_loss) < 0.25 * float(init_loss)
 
 
 @pytest.mark.slow
