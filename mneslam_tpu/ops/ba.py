@@ -242,7 +242,16 @@ def bundle_adjust(
         new_disps = jnp.maximum(new_disps, 0.0)
         return new_poses, new_disps
 
-    poses, disps = jax.lax.fori_loop(0, iters, one_iteration, (poses, disps))
+    # The reference BA is full-fp32 CUDA (droid_kernels.cu); on TPU the
+    # DEFAULT matmul precision runs every Hessian/Schur contraction AND the
+    # blocked Cholesky factorization as single-pass bf16 — usually survivable
+    # (GN is self-correcting), but an ill-conditioned window makes the
+    # bf16-factored solve return a finite-but-wrong step and the trajectory
+    # explodes (reproduced: 60-frame fast-motion slice at 240x320, poses
+    # flying to 12 m while the same program on CPU stays at 0.2 mm —
+    # BASELINE.md round 3). Trace the whole GN loop at float32 precision.
+    with jax.default_matmul_precision("float32"):
+        poses, disps = jax.lax.fori_loop(0, iters, one_iteration, (poses, disps))
     return poses, disps
 
 

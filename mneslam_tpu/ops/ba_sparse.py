@@ -217,7 +217,11 @@ def bundle_adjust_sparse(
         new_disps = jnp.maximum(new_disps, 0.0)
         return new_poses, new_disps
 
-    poses, disps = jax.lax.fori_loop(0, iters, one_iteration, (poses, disps))
+    # float32 matmul precision for the same reason as ba.bundle_adjust:
+    # bf16-precision Hessian/Cholesky contractions diverge on
+    # ill-conditioned windows (see the note there).
+    with jax.default_matmul_precision("float32"):
+        poses, disps = jax.lax.fori_loop(0, iters, one_iteration, (poses, disps))
     return poses, disps
 
 

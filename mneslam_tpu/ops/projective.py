@@ -143,15 +143,18 @@ def projective_transform(
     if not jacobian:
         return x1, valid
 
-    Ja = act4_jacobian(X1)                                # [E, H, W, 4, 6]
-    Jj = Jp @ Ja                                          # [E, H, W, 2, 6]
-    Ji = -lie.adjT_apply(Gij[:, None, None, :], Jj)       # [E, H, W, 2, 6]
+    # float32 matmul precision: these Jacobian chain products feed the BA
+    # normal equations (see ba.bundle_adjust's precision note).
+    with jax.default_matmul_precision("float32"):
+        Ja = act4_jacobian(X1)                            # [E, H, W, 4, 6]
+        Jj = Jp @ Ja                                      # [E, H, W, 2, 6]
+        Ji = -lie.adjT_apply(Gij[:, None, None, :], Jj)   # [E, H, W, 2, 6]
 
-    # d(coords)/d(disp): source point moves along (0,0,0,1); transform and
-    # project through the chain rule (projective_ops.py:139-140).
-    dzvec = jnp.zeros_like(X0).at[..., 3].set(1.0)
-    Jz_pt = lie.act4(Gij[:, None, None, :], dzvec)        # [E, H, W, 4]
-    Jz = Jp @ Jz_pt[..., None]                            # [E, H, W, 2, 1]
+        # d(coords)/d(disp): source point moves along (0,0,0,1); transform
+        # and project through the chain rule (projective_ops.py:139-140).
+        dzvec = jnp.zeros_like(X0).at[..., 3].set(1.0)
+        Jz_pt = lie.act4(Gij[:, None, None, :], dzvec)    # [E, H, W, 4]
+        Jz = Jp @ Jz_pt[..., None]                        # [E, H, W, 2, 1]
 
     return x1, valid, (Ji, Jj, Jz)
 
@@ -220,9 +223,12 @@ def projective_transform_planes(
     Jj = jnp.stack([jnp.stack(Jj0, axis=1),
                     jnp.stack(Jj1, axis=1)], axis=2)            # [E, 6, 2, HW]
 
-    # Ji = -(Jj @ Ad(Gij)): per-edge [6, 6] contraction with scalars
-    Adj = lie.adjoint(Gij)                                      # [E, 6, 6]
-    Ji = -jnp.einsum("elcp,elk->ekcp", Jj, Adj)
+    # Ji = -(Jj @ Ad(Gij)): per-edge [6, 6] contraction with scalars.
+    # float32 matmul precision — feeds the BA normal equations (see
+    # ba.bundle_adjust's precision note).
+    with jax.default_matmul_precision("float32"):
+        Adj = lie.adjoint(Gij)                                  # [E, 6, 6]
+        Ji = -jnp.einsum("elcp,elk->ekcp", Jj, Adj)
 
     # Jz = Jp @ act4(G, e4) with act4(G, (0,0,0,1)) = (t, 1)
     Jz = jnp.stack([a * t0 - u2 * t2, b * t1 - v2 * t2], axis=1)  # [E, 2, HW]

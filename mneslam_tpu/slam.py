@@ -458,7 +458,10 @@ class MNESLAM:
             M = lie.matrix(c2w)
             trans = self.tracker.state.poses_gt[0]
             trans = trans.at[:3, 1].multiply(-1.0).at[:3, 2].multiply(-1.0)
-            M = jnp.einsum("ij,njk->nik", trans, M)
+            # float32 precision: exported-trajectory compose (see
+            # video.get_poses_c2w)
+            with jax.default_matmul_precision("float32"):
+                M = jnp.einsum("ij,njk->nik", trans, M)
             M = M.at[:, :3, 1].multiply(-1.0).at[:, :3, 2].multiply(-1.0)
             est_poses = np.asarray(M)
             np.save(os.path.join(self.out_dir, "est_poses.npy"), est_poses)

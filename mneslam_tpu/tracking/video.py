@@ -302,7 +302,10 @@ def get_poses_c2w(
     M = lie.matrix(c2w)
     if first_gt is not None:
         trans = first_gt.at[:3, 1].multiply(-1.0).at[:3, 2].multiply(-1.0)
-        M = jnp.einsum("ij,njk->nik", trans, M)
+        # float32 matmul precision: this 4x4 compose exports the evaluated
+        # trajectory; bf16-rounded pose entries cost ~mm at meter scale
+        with jax.default_matmul_precision("float32"):
+            M = jnp.einsum("ij,njk->nik", trans, M)
         M = M.at[:, :3, 1].multiply(-1.0).at[:, :3, 2].multiply(-1.0)
     return M
 
