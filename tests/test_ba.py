@@ -158,3 +158,41 @@ def test_sparse_schur_with_padding_and_sensor():
                                               pairs, disps_sens=gt_disps, t0=1, iters=2)
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=2e-4)
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d), atol=2e-3)
+
+
+def test_ba_matmul_precision_pinned():
+    """Every dot in the jitted BA programs must carry HIGHEST (float32)
+    precision: TPU's DEFAULT lowers fp32 dots to single-pass bf16, and a
+    bf16-factored Cholesky on an ill-conditioned window returns a
+    finite-but-WRONG GN step (trajectory exploded 1 mm -> 13 m on the real
+    chip before the fix — BASELINE.md round 3). CPU ignores matmul
+    precision, so this guards the jaxpr, not the numerics."""
+    from mneslam_tpu.ops import ba_sparse
+
+    gt_poses, _, init_poses, init_disps, problem = make_problem(jax.random.PRNGKey(7))
+    pairs = ba_sparse.build_pairs(np.asarray(problem.ii), np.asarray(problem.jj),
+                                  np.asarray(problem.mask) > 0)
+
+    def collect(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    collect(v.jaxpr, out)
+                elif hasattr(v, "eqns"):
+                    collect(v, out)
+        return out
+
+    for fn in (
+        lambda p, d: ba.bundle_adjust(p, d, INTR, problem, iters=1),
+        lambda p, d: ba.bundle_adjust(p, d, INTR, problem, iters=1,
+                                      motion_only=True),
+        lambda p, d: ba_sparse.bundle_adjust_sparse(p, d, INTR, problem,
+                                                    pairs, iters=1),
+    ):
+        precs = collect(jax.make_jaxpr(fn)(init_poses, init_disps).jaxpr, [])
+        assert precs, "no dots found — jaxpr walk broke"
+        bad = [p for p in precs
+               if p != (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)]
+        assert not bad, f"unpinned dot precisions in BA: {bad}"
