@@ -77,6 +77,10 @@ def init_encoder(key, out_dim: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 def gru_apply(p: Dict, net: jax.Array, inp: jax.Array) -> jax.Array:
+    import os
+
+    if os.environ.get("MNESLAM_GRU_IMPL", "ref") == "fused":
+        return gru_apply_fused(p, net, inp)
     net_inp = jnp.concatenate([net, inp], axis=1)
     glo = jax.nn.sigmoid(conv2d(p["w"], net)) * net
     glo = jnp.mean(glo, axis=(2, 3), keepdims=True)
@@ -87,6 +91,40 @@ def gru_apply(p: Dict, net: jax.Array, inp: jax.Array) -> jax.Array:
         conv2d(p["convq"], jnp.concatenate([r * net, inp], axis=1), padding=1)
         + conv2d(p["convq_glo"], glo)
     )
+    return (1 - z) * net + z * q
+
+
+def gru_apply_fused(p: Dict, net: jax.Array, inp: jax.Array) -> jax.Array:
+    """Gate-conv fusion of `gru_apply` — identical math, fewer fatter GEMMs.
+
+    conv([net, inp], W) == conv(net, W[:, :h]) + conv(inp, W[:, h:]), so the
+    z/r/q gates' inp-halves merge into ONE 3x3 conv over `inp` (3h out) and
+    the z/r net-halves into one conv over `net` (2h out); only q's net-half
+    stays separate (it consumes r*net).  Avoids materializing the two
+    448-channel lane-dim concats of COMPUTED operands per step (the relayout
+    cost class documented in CLAUDE.md perf rules).  Selected with
+    MNESLAM_GRU_IMPL=fused; equivalence-tested vs the reference formulation
+    (tests/test_tracking.py)."""
+    h = net.shape[1]
+    wz, wr, wq = p["convz"]["weight"], p["convr"]["weight"], p["convq"]["weight"]
+    w_inp = jnp.concatenate([wz[:, h:], wr[:, h:], wq[:, h:]], axis=0)
+    w_net = jnp.concatenate([wz[:, :h], wr[:, :h]], axis=0)
+
+    glo = jax.nn.sigmoid(conv2d(p["w"], net)) * net
+    glo = jnp.mean(glo, axis=(2, 3), keepdims=True)
+
+    i3 = conv2d({"weight": w_inp}, inp, padding=1)
+    n2 = conv2d({"weight": w_net}, net, padding=1)
+    zi, ri, qi = jnp.split(i3, 3, axis=1)
+    zn, rn = jnp.split(n2, 2, axis=1)
+
+    z = jax.nn.sigmoid(zi + zn + p["convz"]["bias"][None, :, None, None]
+                       + conv2d(p["convz_glo"], glo))
+    r = jax.nn.sigmoid(ri + rn + p["convr"]["bias"][None, :, None, None]
+                       + conv2d(p["convr_glo"], glo))
+    qn = conv2d({"weight": wq[:, :h]}, r * net, padding=1)
+    q = jnp.tanh(qi + qn + p["convq"]["bias"][None, :, None, None]
+                 + conv2d(p["convq_glo"], glo))
     return (1 - z) * net + z * q
 
 

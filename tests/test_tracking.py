@@ -452,3 +452,18 @@ def test_alt_corr_pallas_mxu_variant_matches():
                                        mask=mask, mxu=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gru_fused_gates_match_reference_formulation():
+    """MNESLAM_GRU_IMPL=fused decomposes the gate convs into fewer, fatter
+    GEMMs (one conv over inp + one over net); the math is identical, so the
+    two formulations must agree to float tolerance."""
+    key = jax.random.PRNGKey(3)
+    p = droid_net.init_gru(key)
+    E, h, w = 3, 6, 10
+    net = jax.random.normal(jax.random.fold_in(key, 1), (E, 128, h, w)) * 0.1
+    inp = jax.random.normal(jax.random.fold_in(key, 2), (E, 320, h, w)) * 0.1
+    ref = droid_net.gru_apply(p, net, inp)
+    fused = droid_net.gru_apply_fused(p, net, inp)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               atol=2e-6, rtol=1e-5)
