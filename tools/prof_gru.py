@@ -50,39 +50,7 @@ def direct_time(name, make_step, k=20, trials=5):
     return per
 
 
-def gru_apply_fused(p, net, inp):
-    """Same math as droid_net.gru_apply with the gate convs decomposed:
-    conv([net, inp], W) == conv(net, W[:, :128]) + conv(inp, W[:, 128:]),
-    so z/r/q's inp-halves merge into ONE conv over inp (384 out) and z/r's
-    net-halves into one conv over net (256 out)."""
-    h = net.shape[1]
-
-    def w(name):
-        return p[name]["weight"]
-
-    def b(name):
-        return p[name]["bias"]
-
-    wz, wr, wq = w("convz"), w("convr"), w("convq")
-    w_inp = jnp.concatenate([wz[:, h:], wr[:, h:], wq[:, h:]], axis=0)
-    w_net = jnp.concatenate([wz[:, :h], wr[:, :h]], axis=0)
-
-    glo = jax.nn.sigmoid(conv2d(p["w"], net)) * net
-    glo = jnp.mean(glo, axis=(2, 3), keepdims=True)
-
-    i3 = conv2d({"weight": w_inp}, inp, padding=1)
-    n2 = conv2d({"weight": w_net}, net, padding=1)
-    zi, ri, qi = jnp.split(i3, 3, axis=1)
-    zn, rn = jnp.split(n2, 2, axis=1)
-
-    z = jax.nn.sigmoid(zi + zn + b("convz")[None, :, None, None]
-                       + conv2d(p["convz_glo"], glo))
-    r = jax.nn.sigmoid(ri + rn + b("convr")[None, :, None, None]
-                       + conv2d(p["convr_glo"], glo))
-    qn = conv2d({"weight": wq[:, :h]}, r * net, padding=1)
-    q = jnp.tanh(qi + qn + b("convq")[None, :, None, None]
-                 + conv2d(p["convq_glo"], glo))
-    return (1 - z) * net + z * q
+gru_apply_fused = droid_net.gru_apply_fused  # the production fused variant
 
 
 def main():
