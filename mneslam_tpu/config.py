@@ -145,7 +145,8 @@ _DEFAULTS: Dict[str, Any] = {
         "rgb_missing": 0.05,
         "is_co_sdf": True,
     },
-    "mesh": {"resolution": 128, "vis": 50, "voxel_eval": 0.05, "voxel_final": 0.03},
+    "mesh": {"resolution": 128, "vis": 50, "voxel_eval": 0.05, "voxel_final": 0.03,
+             "render_color": False},
     "meshing": {"level_set": 0, "resolution": 0.05, "mesh_bound_scale": 1.02},
     "planes_res": {"coarse": 0.24, "fine": 0.12, "bound_dividable": 0.24},
     "c_planes_res": {"coarse": 0.24, "fine": 0.12},

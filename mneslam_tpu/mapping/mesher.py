@@ -40,6 +40,35 @@ def _query_color_chunked(scene: SceneRep, params: Dict, pts: jax.Array, chunk: i
     return rgb.reshape(-1, 3)[:n]
 
 
+@partial(jax.jit, static_argnames=("scene", "chunk"))
+def _render_surface_color_chunked(scene: SceneRep, params: Dict, pts: jax.Array,
+                                  normals: jax.Array, chunk: int = 16384):
+    """`mesh.render_color: True` path: composite color along each vertex
+    normal within the truncation band (reference `render_surface_color`,
+    model/scene_rep.py:333-349, selected by mneslam_mp.py:562-566)."""
+    n = pts.shape[0]
+    n_pad = (chunk - n % chunk) % chunk
+    pad = jnp.zeros((n_pad, 3), pts.dtype)
+    p = jnp.concatenate([pts, pad], axis=0).reshape(-1, chunk, 3)
+    nr = jnp.concatenate([normals.astype(pts.dtype), pad], axis=0).reshape(-1, chunk, 3)
+    rgb = jax.lax.map(
+        lambda qn: scene.render_surface_color(params, qn[0], qn[1]), (p, nr))
+    return rgb.reshape(-1, 3)[:n]
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (trimesh.vertex_normals semantics:
+    face normals scaled by face area, summed per vertex, normalized —
+    `utils.py:133` uses trimesh's property as the render direction)."""
+    v = verts.astype(np.float64)
+    fn = np.cross(v[faces[:, 1]] - v[faces[:, 0]], v[faces[:, 2]] - v[faces[:, 0]])
+    out = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(out, faces[:, k], fn)
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    return (out / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
 def sdf_grid(
     scene: SceneRep,
     params: Dict,
@@ -109,7 +138,12 @@ def extract_mesh(
             eps=float(eps) + diag)
     colors = None
     if color and len(verts):
-        colors = np.asarray(_query_color_chunked(scene, params, jnp.asarray(verts)))
+        if config.get("mesh", {}).get("render_color", False):
+            normals = vertex_normals(verts, faces)
+            colors = np.asarray(_render_surface_color_chunked(
+                scene, params, jnp.asarray(verts), jnp.asarray(normals)))
+        else:
+            colors = np.asarray(_query_color_chunked(scene, params, jnp.asarray(verts)))
     if save_path is not None and len(verts):
         mc.save_ply(save_path, verts, faces, colors)
     return verts, faces, colors

@@ -164,3 +164,53 @@ def test_raw_mesh_bounded_to_observed_space():
             jnp.asarray(verts_obs), jnp.asarray(kf_poses), jnp.asarray(intr),
             jnp.asarray(depths), H=H, W=W, eps=eps + diag))
         assert (counts > 0).all(), f"{(counts == 0).sum()} verts unobserved"
+
+
+def test_render_color_mesh_path():
+    """`mesh.render_color: True` colors vertices by compositing along the
+    vertex normal inside the truncation band (reference utils.py:130-142 +
+    model/scene_rep.py:333-349) instead of point color queries. Both paths
+    must produce one finite [0,1] RGB row per vertex, and the two colorings
+    agree closely for a smooth color field (the band composite is a convex
+    blend of nearby point colors)."""
+    import jax
+
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.mapping.mesher import extract_mesh, vertex_normals
+    from mneslam_tpu.models.scene_rep import SceneRep
+
+    cfg = make_config({
+        "mapping": {"bound": [[-2.0, 2.0]] * 3,
+                    "marching_cubes_bound": [[-2.0, 2.0]] * 3},
+        "planes_res": {"coarse": 0.8, "fine": 0.4, "bound_dividable": 0.4},
+        "cam": {"H": 32, "W": 40, "fx": 30.0, "fy": 30.0, "cx": 19.5,
+                "cy": 15.5, "near": 0.0, "far": 8.0},
+        "training": {"trunc": 0.3},
+        "model": {"c_dim": 8, "input_ch": 16, "input_ch_pos": 48,
+                  "truncation": 0.3},
+        "meshing": {"resolution": 0.25},
+    })
+    scene = SceneRep(cfg)
+    params = scene.init_params(jax.random.PRNGKey(0))
+
+    verts_q, faces_q, col_q = extract_mesh(scene, params, cfg, color=True)
+    assert len(verts_q) and col_q.shape == (len(verts_q), 3)
+
+    cfg_r = dict(cfg)
+    cfg_r["mesh"] = dict(cfg["mesh"], render_color=True)
+    verts_r, faces_r, col_r = extract_mesh(scene, params, cfg_r, color=True)
+    np.testing.assert_array_equal(verts_r, verts_q)  # geometry unchanged
+    assert col_r.shape == (len(verts_r), 3)
+    assert np.isfinite(col_r).all()
+    assert (col_r >= 0).all() and (col_r <= 1).all()
+    # distinct code path actually ran (colors differ from point queries)...
+    assert not np.allclose(col_r, col_q)
+    # ...but stays a local blend of the same smooth field
+    assert np.abs(col_r - col_q).mean() < 0.2
+
+    # vertex_normals: unit length, matches analytic normals on a sphere-ish
+    # surface (untrained SDF is smooth; just check unit norm + shape here)
+    n = vertex_normals(verts_q, faces_q)
+    assert n.shape == verts_q.shape
+    norms = np.linalg.norm(n, axis=1)
+    assert ((norms > 0.99) & (norms < 1.01)).sum() > 0.9 * len(n)
