@@ -251,6 +251,23 @@ class MNESLAM:
         if vis_every > 0 and (len(self.mapped_timestamps) - 1) % vis_every == 0:
             self._save_vis(frame_idx, pose_c2w)
 
+        # periodic mesh snapshot (mapping.mapping_save_stride — the
+        # reference's mp_slam/mapper.py:238-243 cadence with save_mesh's
+        # mesh_track_{i}.ply naming, mneslam_mp.py:558-575; its save body
+        # is commented out upstream, so this functions where the reference
+        # only mkdirs). 0/absent = off.
+        stride = int(self.config["mapping"].get("mapping_save_stride", 0))
+        if stride > 0 and len(self.mapped_timestamps) % stride == 0:
+            try:
+                extract_mesh(
+                    self.scene, self.map_state.params, self.config,
+                    voxel_size=float(self.config["mesh"]["voxel_eval"]),
+                    save_path=os.path.join(
+                        self.out_dir, "mesh", f"mesh_track_{frame_idx}.ply"),
+                )
+            except Exception as e:  # snapshot failure must not kill the run
+                print(f"[agent {self.rank}] mesh snapshot failed: {e}")
+
         if self.collab is not None:
             n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
             kf_ts = np.asarray(self.mapped_timestamps[:n], float)

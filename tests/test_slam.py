@@ -23,7 +23,9 @@ def tiny_config(tmp_path):
             "marching_cubes_bound": [[-2.1, 2.1]] * 3,
             "sample": 384, "min_pixels_cur": 64,
             "first_iters": 80, "iters": 15, "keyframe_every": 3,
+            "mapping_save_stride": 2,
         },
+        "mesh": {"voxel_eval": 0.25},
         "planes_res": {"coarse": 0.44, "fine": 0.22, "bound_dividable": 0.22},
         "cam": {"H": 40, "W": 56, "fx": 35.0, "fy": 35.0, "cx": 27.5, "cy": 19.5,
                 "near": 0.0, "far": 8.0},
@@ -40,6 +42,10 @@ def test_mapping_only_pipeline(tmp_path):
     metrics = slam.run_mapping_only(log_every=100)
     assert len(metrics) == 3  # frames 0, 3, 6
     assert metrics[-1]["psnr"] > 16.0
+    # mapping_save_stride=2 -> a periodic mesh snapshot fired at kf count 2
+    snaps = [f for f in os.listdir(os.path.join(slam.out_dir, "mesh"))
+             if f.startswith("mesh_track_")]
+    assert snaps, "mapping_save_stride produced no mesh snapshot"
 
     # checkpoint roundtrip
     ckpt = os.path.join(str(tmp_path), "ck.npz")
