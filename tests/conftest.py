@@ -19,3 +19,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Full-suite runs twice segfaulted inside an XLA:CPU
+    `backend_compile_and_load` near the END of the suite (the last
+    module's Pallas-interpret compile) while the same test passes
+    standalone and at file scope — and the host had >100 GB free, so it
+    is accumulated in-process compiler/executable state, not RSS
+    pressure, that triggers the crash. Dropping the compilation caches at
+    module boundaries empirically avoids that state; within a module,
+    tests still share compiles."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -157,3 +157,21 @@ def test_vis_cameras_tool(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert out.exists() and out.stat().st_size > 10_000
+
+
+@pytest.mark.slow
+def test_bench_quick_smoke():
+    """`bench.py --quick` must stay runnable: the driver records its one
+    JSON line after every round, so bitrot here silently voids the bench."""
+    import json
+
+    env = dict(os.environ, PYTHONPATH=".", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--quick", "--reps", "2"],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] and out["value"] > 0
+    assert "slam_fps" in out["extra"]
