@@ -67,6 +67,11 @@ _DEFAULTS: Dict[str, Any] = {
         # shard the mapping optimizer + ray batch over all local devices
         # (row-sharded ZeRO-style plane gradients — BASELINE.md round 3)
         "shard_plane_rows": False,
+        # gradient-fold placement in the row-sharded backward: "after" =
+        # packed reduce-scatter then rows/N fold (min per-device compute),
+        # "before" = full local fold then 4x-smaller raw reduce-scatter
+        # (min ICI) — numerically identical (BASELINE.md round 4)
+        "shard_fold": "after",
         "w_sdf_fs": 5,
         "w_sdf_center": 200,
         "w_sdf_tail": 30,
@@ -102,6 +107,13 @@ _DEFAULTS: Dict[str, Any] = {
             # edges per corr+GRU pass in full-history BA (update_lowmem
             # memory bound, factor_graph.py:280-346)
             "corr_chunk": 256,
+            # incremental frame-distance cache for edge proposal
+            # (tracking/dist_cache.py — the reference recomputes all t^2
+            # pairs per BA; tolerances bound the stale-entry flow error to
+            # ~0.01 px against 16-25 px thresholds; set enabled: false for
+            # exact reference always-fresh behavior)
+            "dist_cache": {"enabled": True,
+                           "pose_tol": 1.0e-4, "disp_tol": 1.0e-3},
         },
     },
     "grid": {"oneGrid": True},

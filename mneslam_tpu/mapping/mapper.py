@@ -70,14 +70,15 @@ class Mapper:
 
         `shard_plane_rows` (requires mesh): additionally shard the plane
         parameters, their Adam state, and the whole plane-gradient
-        reduce/fold over table rows (ZeRO-style). Per iteration the packed
-        corner tables are all-gathered for the forward's random row
-        gathers (`parallel.mesh.gather_table_rows`), and the backward's
-        packed cotangents reduce-scatter so the dense `pack_corners`
-        adjoint fold and Adam run on 1/N of the table per device — the
-        table-sized backward terms that do NOT shrink with the ray shard
-        (BASELINE.md round-3 ray-sharding measurement: they dominate the
-        per-device cost at rays/8)."""
+        reduce/fold over table rows (ZeRO-style). Per iteration the RAW
+        plane rows are all-gathered and packed locally
+        (`parallel.mesh.make_row_sharded_pack` — the raw rows are 4x fewer
+        bytes over ICI than the packed tables round 3 gathered), and the
+        backward's packed cotangents reduce-scatter so the dense
+        `pack_corners` adjoint fold and Adam run on 1/N of the table per
+        device — the table-sized backward terms that do NOT shrink with
+        the ray shard (BASELINE.md round-3 ray-sharding measurement: they
+        dominate the per-device cost at rays/8)."""
         self.config = config
         self.scene = scene
         self.num_kf = num_kf
@@ -85,6 +86,7 @@ class Mapper:
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
         self.shard_rows = bool(shard_plane_rows) and mesh is not None
+        self._seam_cache = {}
         self.n_global = int(config["mapping"]["sample"])
         self.n_cur = int(config["mapping"]["min_pixels_cur"])
         if mesh is not None:
@@ -115,102 +117,120 @@ class Mapper:
     def _n_dev(self) -> int:
         return int(np.prod(list(self.mesh.shape.values())))
 
-    @property
-    def _plane_shape_set(self):
-        shapes = {tuple(s[name]) for s in self.scene.plane_shapes
-                  for name in ("xy", "xz", "yz")}
-        if not self.scene.one_grid:
-            shapes |= {tuple(s[name]) for s in self.scene.c_plane_shapes
-                       for name in ("xy", "xz", "yz")}
-        return shapes
-
     def _pad_h(self, H: int) -> int:
         n = self._n_dev
         return (H + n - 1) // n * n
 
-    @property
-    def _padded_shape_map(self):
-        """padded (C, H', W) -> true (C, H, W) for every plane leaf."""
-        return {(C, self._pad_h(H), W): (C, H, W)
-                for (C, H, W) in self._plane_shape_set}
+    def _plane_shapes_of(self, which: str):
+        return (self.scene.plane_shapes if which == "planes"
+                else self.scene.c_plane_shapes)
+
+    @staticmethod
+    def _plane_leaf_addr(path):
+        """(which, name, level) when `path` addresses a plane leaf, else
+        None. Adam-moment trees mirror the params tree (multi_transform
+        group names included), so the trailing planes/<name>/<level>
+        segments identify the leaf in params and optimizer state alike."""
+        from jax.tree_util import DictKey, SequenceKey
+
+        for i in range(len(path) - 3, -1, -1):
+            if (isinstance(path[i], DictKey)
+                    and path[i].key in ("planes", "c_planes")
+                    and isinstance(path[i + 1], DictKey)
+                    and path[i + 1].key in ("xy", "xz", "yz")
+                    and isinstance(path[i + 2], SequenceKey)):
+                return path[i].key, path[i + 1].key, path[i + 2].idx
+        return None
 
     def _shard_plane_state(self, tree):
-        """Entering `optimize` under shard_plane_rows: pad each plane-shaped
-        leaf (params or Adam moments) along grid axis H to a device-count
-        multiple (the nested fine grid is k*(coarse-1)+1 rows — always odd)
-        and pin it row-sharded. The dead rows carry zero gradients and zero
-        moments, so the pad/unpad round trip is exact. Params stay unpadded
-        and replicated AT REST (every other consumer — renderer, mesher,
-        checkpointing, fusion — sees the ordinary layout); the padded
-        sharded layout lives only inside the compiled optimization loop."""
+        """Entering `optimize` under shard_plane_rows: convert each plane
+        leaf (params or Adam moments) [C, H, W] to the flat row-major
+        layout [Hp*W, C] (row r = y*W + x, H zero-padded to a device-count
+        multiple Hp) and pin it row-sharded. Inside the compiled loop
+        everything — collective seam, gradient fold, Adam — works on this
+        layout, so the per-iteration path carries NO [C,H,W]<->row-major
+        transposes (the relayouts run once here and in `_unshard`, amortized
+        over the whole fori_loop). The pad rows carry zero gradients and
+        zero moments, so the round trip is exact. Params stay unpadded,
+        untransposed, and replicated AT REST (renderer, mesher,
+        checkpointing, fusion all see the ordinary layout)."""
         from ..parallel import mesh as mesh_lib
 
-        shapes = self._plane_shape_set
-        shard = mesh_lib.row_sharding(self.mesh, ndim=3, axis=1)
+        shard = mesh_lib.row_sharding(self.mesh, ndim=2, axis=0)
 
-        def f(leaf):
-            if (hasattr(leaf, "ndim") and leaf.ndim == 3
-                    and tuple(leaf.shape) in shapes):
-                C, H, W = leaf.shape
-                Hp = self._pad_h(H)
-                if Hp != H:
-                    leaf = jnp.pad(leaf, ((0, 0), (0, Hp - H), (0, 0)))
-                return jax.lax.with_sharding_constraint(leaf, shard)
-            return leaf
+        def f(path, leaf):
+            addr = self._plane_leaf_addr(path)
+            if addr is None or not hasattr(leaf, "ndim") or leaf.ndim != 3:
+                return leaf
+            which, name, lvl = addr
+            C, H, W = (int(s) for s in self._plane_shapes_of(which)[lvl][name])
+            flat = jnp.transpose(leaf, (1, 2, 0)).reshape(H * W, C)
+            Rp = self._pad_h(H) * W
+            if Rp > H * W:
+                flat = jnp.pad(flat, ((0, Rp - H * W), (0, 0)))
+            return jax.lax.with_sharding_constraint(flat, shard)
 
-        return jax.tree.map(f, tree)
+        return jax.tree_util.tree_map_with_path(f, tree)
 
     def _unshard_plane_state(self, tree):
-        """Leaving `optimize`: slice the pad rows back off."""
-        pmap = {k: v for k, v in self._padded_shape_map.items() if k != v}
+        """Leaving `optimize`: back to [C, H, W], pad rows sliced off."""
+        def f(path, leaf):
+            addr = self._plane_leaf_addr(path)
+            if addr is None or not hasattr(leaf, "ndim") or leaf.ndim != 2:
+                return leaf
+            which, name, lvl = addr
+            C, H, W = (int(s) for s in self._plane_shapes_of(which)[lvl][name])
+            return jnp.transpose(leaf[:H * W].reshape(H, W, C), (2, 0, 1))
 
-        def f(leaf):
-            if (hasattr(leaf, "ndim") and leaf.ndim == 3
-                    and tuple(leaf.shape) in pmap):
-                return leaf[:, :pmap[tuple(leaf.shape)][1]]
-            return leaf
+        return jax.tree_util.tree_map_with_path(f, tree)
 
-        return jax.tree.map(f, tree)
-
-    def _packed_params(self, params):
-        """Swap (padded, row-sharded) plane leaves for all-gathered
-        `PackedPlane` tables — the replicate-fwd/shard-bwd seam of the
-        row-sharded path (parallel/mesh.gather_table_rows)."""
-        from ..ops import interp
+    def _seam_fn(self, true_shape):
+        """Cached per-plane-shape collective seam
+        (`parallel/mesh.make_row_sharded_pack`, shard_map-internal):
+        all-gather RAW rows + local pack forward; reduce-scatter +
+        row-local fold backward (`mapping.shard_fold`: "after" = packed
+        reduce-scatter then block fold, "before" = full local fold then
+        4x-smaller raw reduce-scatter — numerically identical, different
+        compute/ICI split). The cast to `training.render_dtype` happens on
+        the sharded side inside the seam, so under bfloat16 the all-gather
+        AND the gradient reduction move half the bytes (matching the
+        single-chip bf16 path, which folds and scatters in bf16 too)."""
         from ..parallel import mesh as mesh_lib
 
-        pmap = self._padded_shape_map
-        gather = mesh_lib.gather_table_rows(self.mesh)
-        # under render_dtype: bfloat16 cast BEFORE pack so the all-gather /
-        # gradient reduction move half the bytes (numerically identical to
-        # the cast scene.forward would apply after the gather; the bf16
-        # gradient reduction matches the single-chip bf16 path, which folds
-        # and scatters in bf16 too)
-        cdt = self.scene.compute_dtype
+        fn = self._seam_cache.get(true_shape)
+        if fn is None:
+            axes = tuple(self.mesh.axis_names)
+            sizes = tuple(int(self.mesh.shape[a]) for a in axes)
+            fn = mesh_lib.make_row_sharded_pack(
+                axes, sizes, true_shape, self._pad_h(true_shape[1]),
+                compute_dtype=self.scene.compute_dtype,
+                fold=str(self.config["mapping"].get("shard_fold", "after")))
+            self._seam_cache[true_shape] = fn
+        return fn
 
-        def one(pl):
-            shape = pmap.get(tuple(pl.shape), tuple(pl.shape))
-            if shape != tuple(pl.shape):
-                pl = pl[:, :shape[1]]              # drop sharding pad rows
-            if pl.dtype != cdt:
-                pl = pl.astype(cdt)
-            return interp.PackedPlane(gather(interp.pack_corners(pl)), shape)
-
-        def pack(planes):
-            return {name: [one(pl) for pl in planes[name]]
-                    for name in ("xy", "xz", "yz")}
+    def _packed_params(self, params):
+        """Swap the flat row-sharded plane leaves for replicated
+        `PackedPlane` tables through the collective seam."""
+        from ..ops import interp
 
         out = dict(params)
-        out["planes"] = pack(params["planes"])
-        if "c_planes" in params:
-            out["c_planes"] = pack(params["c_planes"])
+        for which in ("planes", "c_planes"):
+            if which not in params:
+                continue
+            shapes = self._plane_shapes_of(which)
+            packed = {}
+            for name in ("xy", "xz", "yz"):
+                packed[name] = []
+                for lvl, leaf in enumerate(params[which][name]):
+                    ts = tuple(int(s) for s in shapes[lvl][name])
+                    packed[name].append(
+                        interp.PackedPlane(self._seam_fn(ts)(leaf), ts))
+            out[which] = packed
         return out
 
     # ------------------------------------------------------------------
 
     def _loss_fn(self, params, rays_o, rays_d, target_rgb, target_d, key):
-        if self.shard_rows:
-            params = self._packed_params(params)
         ret = self.scene.forward(params, rays_o, rays_d, target_rgb, target_d, key=key)
         smooth = None
         tr = self.config["training"]
@@ -225,6 +245,29 @@ class Mapper:
         loss = self.scene.get_loss_from_ret(ret, smooth_loss=smooth)
         return loss, ret
 
+    def _build_rays(self, db, kf_poses, dir_flat, rgb_flat, d_flat,
+                    cur_pose, HW, key, use_cur):
+        """One iteration's full ray batch (global KF rays + current-frame
+        rays) — shared by the single/ray-sharded and row-sharded paths so
+        both sample identical batches from the same key stream."""
+        k_db, k_cur, k_render = jax.random.split(key, 3)
+        g_rays, slot_ids = kf_lib.sample_global_rays(db, k_db, self.n_global)
+        g_poses = kf_poses[slot_ids]                            # [n, 4, 4]
+        g_o, g_d = rays_lib.rays_from_pose(g_rays[:, :3], g_poses)
+        g_rgb, g_depth = g_rays[:, 3:6], g_rays[:, 6]
+
+        if use_cur:
+            idx = jax.random.randint(k_cur, (self.n_cur,), 0, HW)
+            c_o, c_d = rays_lib.rays_from_pose(dir_flat[idx], cur_pose)
+            rays_o = jnp.concatenate([g_o, c_o], axis=0)
+            rays_d = jnp.concatenate([g_d, c_d], axis=0)
+            target_rgb = jnp.concatenate([g_rgb, rgb_flat[idx]], axis=0)
+            target_d = jnp.concatenate([g_depth, d_flat[idx]], axis=0)[:, None]
+        else:
+            rays_o, rays_d = g_o, g_d
+            target_rgb, target_d = g_rgb, g_depth[:, None]
+        return rays_o, rays_d, target_rgb, target_d, k_render
+
     @partial(jax.jit, static_argnames=("self", "iters", "use_cur"))
     def optimize(
         self,
@@ -237,6 +280,9 @@ class Mapper:
     ) -> Tuple[MapperState, Dict[str, jax.Array]]:
         """`iters` optimization steps over (global KF rays + current-frame
         rays) — the body of mapper.py:118-161, compiled once."""
+        if self.shard_rows:
+            return self._optimize_row_sharded(state, cur_frame, cur_pose,
+                                              key, iters, use_cur)
         H, W = cur_frame["depth"].shape
         dir_flat = cur_frame["direction"].reshape(-1, 3)
         rgb_flat = cur_frame["rgb"].reshape(-1, 3)
@@ -245,23 +291,9 @@ class Mapper:
         def step(i, carry):
             params, opt_state, _ = carry
             k = jax.random.fold_in(key, i)
-            k_db, k_cur, k_render = jax.random.split(k, 3)
-
-            g_rays, slot_ids = kf_lib.sample_global_rays(state.db, k_db, self.n_global)
-            g_poses = state.kf_poses[slot_ids]                      # [n, 4, 4]
-            g_o, g_d = rays_lib.rays_from_pose(g_rays[:, :3], g_poses)
-            g_rgb, g_depth = g_rays[:, 3:6], g_rays[:, 6]
-
-            if use_cur:
-                idx = jax.random.randint(k_cur, (self.n_cur,), 0, H * W)
-                c_o, c_d = rays_lib.rays_from_pose(dir_flat[idx], cur_pose)
-                rays_o = jnp.concatenate([g_o, c_o], axis=0)
-                rays_d = jnp.concatenate([g_d, c_d], axis=0)
-                target_rgb = jnp.concatenate([g_rgb, rgb_flat[idx]], axis=0)
-                target_d = jnp.concatenate([g_depth, d_flat[idx]], axis=0)[:, None]
-            else:
-                rays_o, rays_d = g_o, g_d
-                target_rgb, target_d = g_rgb, g_depth[:, None]
+            rays_o, rays_d, target_rgb, target_d, k_render = self._build_rays(
+                state.db, state.kf_poses, dir_flat, rgb_flat, d_flat,
+                cur_pose, H * W, k, use_cur)
             if self.mesh is not None:
                 rays_o, rays_d, target_rgb, target_d = self._shard_rays(
                     rays_o, rays_d, target_rgb, target_d)
@@ -277,16 +309,123 @@ class Mapper:
 
         zero_metrics = {"loss": jnp.zeros(()), "psnr": jnp.zeros(()),
                         "rgb_loss": jnp.zeros(()), "depth_loss": jnp.zeros(())}
-        params0, opt_state0 = state.params, state.opt_state
-        if self.shard_rows:
-            params0 = self._shard_plane_state(params0)
-            opt_state0 = self._shard_plane_state(opt_state0)
         params, opt_state, metrics = jax.lax.fori_loop(
-            0, iters, step, (params0, opt_state0, zero_metrics)
+            0, iters, step, (state.params, state.opt_state, zero_metrics)
         )
-        if self.shard_rows:
-            params = self._unshard_plane_state(params)
-            opt_state = self._unshard_plane_state(opt_state)
+        return state._replace(params=params, opt_state=opt_state), metrics
+
+    def _optimize_row_sharded(self, state, cur_frame, cur_pose, key, iters,
+                              use_cur):
+        """The ZeRO-style optimize: one shard_map program with EXPLICIT
+        collectives (round 4 — GSPMD given the equivalent
+        with_sharding_constraint seams multiplied the gathers ~2-4x and
+        replicated the backward scatter values; see
+        parallel/mesh.make_row_sharded_pack). Per device and iteration:
+
+          fwd:  all-gather RAW plane rows (4x fewer bytes than packed) ->
+                local pack -> render the LOCAL ray shard (psum-aware losses)
+          bwd:  local scatter of the ray shard's corner cotangents ->
+                reduce-scatter (packed, fold=after; raw, fold=before) ->
+                row-local fold -> row-local Adam.
+
+        Plane params and Adam moments live as flat row-major blocks sharded
+        over all mesh axes; decoder grads psum. Numerically equal to the
+        unsharded path (identical ray batches from the same key stream;
+        tests/test_parallel.py::test_row_sharded_mapper_matches_unsharded)."""
+        from jax.sharding import PartitionSpec as P
+
+        H, W = cur_frame["depth"].shape
+        dir_flat = cur_frame["direction"].reshape(-1, 3)
+        rgb_flat = cur_frame["rgb"].reshape(-1, 3)
+        d_flat = cur_frame["depth"].reshape(-1)
+
+        axes = tuple(self.mesh.axis_names)
+        sizes = tuple(int(self.mesh.shape[a]) for a in axes)
+        n_dev = self._n_dev
+        tr = self.config["training"]
+        smooth_w = float(tr.get("smooth_weight", 0.0))
+
+        params0 = self._shard_plane_state(state.params)
+        opt0 = self._shard_plane_state(state.opt_state)
+
+        def spec_of(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, l: (P(axes) if self._plane_leaf_addr(p) is not None
+                              and hasattr(l, "ndim") and l.ndim == 2 else P()),
+                tree)
+
+        def body(params, opt_state, db, kf_poses, dirf, rgbf, df, pose, key):
+            dev = jnp.zeros((), jnp.int32)
+            for name, size in zip(axes, sizes):
+                dev = dev * size + jax.lax.axis_index(name)
+
+            def loss_fn(p, ro, rd, trgb, td, k_render, offset, n_total):
+                packed = self._packed_params(p)
+                ret = self.scene.forward(packed, ro, rd, trgb, td,
+                                         key=k_render, axis_name=axes,
+                                         rng_block=(n_total, offset))
+                smooth = None
+                if smooth_w > 0.0:
+                    smooth = self.scene.smoothness(
+                        packed, jax.random.fold_in(k_render, 101),
+                        sample_points=int(tr.get("smooth_pts", 32)),
+                        voxel_size=float(tr.get("smooth_vox", 0.1)),
+                        margin=float(tr.get("smooth_margin", 0.05)))
+                # The differentiated scalar is the GLOBAL loss / n_dev: in
+                # shard_map autodiff psum's transpose is psum, so grad of
+                # the replicated global loss is n_dev x the true partial.
+                # The 1/n_dev makes every summed gradient exact — including
+                # the replicated smoothness term (identical on all devices,
+                # summed once by the seam's reduce-scatter).
+                loss_g = self.scene.get_loss_from_ret(
+                    ret, smooth_loss=smooth) / n_dev
+                return loss_g, ret
+
+            def step(i, carry):
+                params, opt_state, _ = carry
+                k = jax.random.fold_in(key, i)
+                # identical full-batch sampling on every device (same key),
+                # then each device takes its contiguous ray block
+                rays_o, rays_d, t_rgb, t_d, k_render = self._build_rays(
+                    db, kf_poses, dirf, rgbf, df, pose, H * W, k, use_cur)
+                n_total = rays_o.shape[0]
+                shard = n_total // n_dev
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, dev * shard, shard, axis=0)
+                (loss_g, ret), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    params, sl(rays_o), sl(rays_d), sl(t_rgb), sl(t_d),
+                    k_render, dev * shard, n_total)
+                # plane grads come out of the seam already row-local;
+                # everything else (decoder) is a per-device partial -> psum
+                grads = jax.tree_util.tree_map_with_path(
+                    lambda p, g: g if self._plane_leaf_addr(p) is not None
+                    else jax.lax.psum(g, axes), grads)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, {"loss": loss_g * n_dev,
+                                           "psnr": ret["psnr"],
+                                           "rgb_loss": ret["rgb_loss"],
+                                           "depth_loss": ret["depth_loss"]}
+
+            zero_metrics = {"loss": jnp.zeros(()), "psnr": jnp.zeros(()),
+                            "rgb_loss": jnp.zeros(()),
+                            "depth_loss": jnp.zeros(())}
+            return jax.lax.fori_loop(0, iters, step,
+                                     (params, opt_state, zero_metrics))
+
+        smap = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(spec_of(params0), spec_of(opt0), P(), P(), P(), P(),
+                      P(), P(), P()),
+            out_specs=(spec_of(params0), spec_of(opt0), P()),
+            check_vma=False)
+        params, opt_state, metrics = smap(
+            params0, opt0, state.db, state.kf_poses, dir_flat, rgb_flat,
+            d_flat, cur_pose, key)
+        params = self._unshard_plane_state(params)
+        opt_state = self._unshard_plane_state(opt_state)
         return state._replace(params=params, opt_state=opt_state), metrics
 
     @partial(jax.jit, static_argnames=("self",))

@@ -332,8 +332,22 @@ class SceneRep:
         rgb_map, *_ = self.raw2outputs(raw, z_vals)
         return rgb_map
 
+    @staticmethod
+    def _block_uniform(key, n_rays: int, width: int, rng_block):
+        """Per-ray uniforms that are slice-consistent under ray sharding:
+        with rng_block=(n_total, offset) every shard draws the FULL
+        [n_total, width] stream from the same key and slices its block, so
+        sharded rays see exactly the randoms the unsharded batch would
+        (the row-sharded mapper's equality contract). rng_block=None is the
+        plain draw."""
+        if rng_block is None:
+            return jax.random.uniform(key, (n_rays, width))
+        n_total, offset = rng_block
+        full = jax.random.uniform(key, (int(n_total), width))
+        return jax.lax.dynamic_slice_in_dim(full, offset, n_rays, axis=0)
+
     def sample_pdf(self, bins: jax.Array, weights: jax.Array, n_importance: int,
-                   key: Optional[jax.Array] = None) -> jax.Array:
+                   key: Optional[jax.Array] = None, rng_block=None) -> jax.Array:
         """Inverse-CDF importance sampling (model/utils.py:65-104).
 
         bins [R, B], weights [R, B] -> samples [R, n_importance]; stratified
@@ -349,7 +363,7 @@ class SceneRep:
             u = jnp.linspace(0.5 / n_importance, 1.0 - 0.5 / n_importance, n_importance)
             u = jnp.broadcast_to(u, (R, n_importance))
         else:
-            u = jax.random.uniform(key, (R, n_importance))
+            u = self._block_uniform(key, R, n_importance, rng_block)
 
         idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
         below = jnp.maximum(idx - 1, 0)
@@ -363,7 +377,8 @@ class SceneRep:
         return bins_b + t * (bins_a - bins_b)
 
     def sample_z_vals(
-        self, target_d: jax.Array, n_rays: int, key: Optional[jax.Array]
+        self, target_d: jax.Array, n_rays: int, key: Optional[jax.Array],
+        rng_block=None,
     ) -> jax.Array:
         """Depth-guided stratified sampling (scene_rep.py:361-381).
 
@@ -392,7 +407,7 @@ class SceneRep:
             mids = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
             upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
             lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
-            u = jax.random.uniform(key, z_vals.shape)
+            u = self._block_uniform(key, n_rays, z_vals.shape[1], rng_block)
             z_vals = lower + (upper - lower) * u
         return z_vals
 
@@ -403,8 +418,13 @@ class SceneRep:
         rays_d: jax.Array,
         target_d: Optional[jax.Array] = None,
         key: Optional[jax.Array] = None,
+        rng_block=None,
     ) -> Dict[str, jax.Array]:
-        """Render a static-size batch of rays [R, 3] -> outputs dict."""
+        """Render a static-size batch of rays [R, 3] -> outputs dict.
+
+        `rng_block=(n_total, offset)`: this batch is a contiguous shard of
+        a larger one — per-ray randoms are drawn for the full batch and
+        sliced, so sharded rendering matches unsharded bit-for-bit."""
         n_rays = rays_o.shape[0]
         if target_d is None:
             z_vals = jnp.broadcast_to(
@@ -414,9 +434,10 @@ class SceneRep:
                 mids = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
                 upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
                 lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
-                z_vals = lower + (upper - lower) * jax.random.uniform(key, z_vals.shape)
+                u = self._block_uniform(key, n_rays, z_vals.shape[1], rng_block)
+                z_vals = lower + (upper - lower) * u
         else:
-            z_vals = self.sample_z_vals(target_d, n_rays, key)
+            z_vals = self.sample_z_vals(target_d, n_rays, key, rng_block=rng_block)
 
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [R, S, 3]
         raw = self.query_color_sdf(params, pts.reshape(-1, 3)).reshape(
@@ -433,7 +454,8 @@ class SceneRep:
             k_imp = None if key is None else jax.random.fold_in(key, 777)
             z_samples = jax.lax.stop_gradient(
                 self.sample_pdf(z_mid, weights[:, 1:-1], self.n_importance,
-                                key=k_imp if self.perturb else None))
+                                key=k_imp if self.perturb else None,
+                                rng_block=rng_block))
             z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
             raw = self.query_color_sdf(params, pts.reshape(-1, 3)).reshape(
@@ -457,9 +479,29 @@ class SceneRep:
     # losses
     # ------------------------------------------------------------------
 
-    def co_sdf_losses(self, z_vals, target_d, sdf):
+    @staticmethod
+    def _psum(x, axis_name):
+        """Scalar sum of `x`, globalized over `axis_name` when the caller
+        runs as a shard_map ray shard (the row-sharded mapper). With
+        axis_name=None this is a plain sum — the single-device semantics."""
+        s = jnp.sum(x)
+        return s if axis_name is None else jax.lax.psum(s, axis_name)
+
+    def _pmean(self, x, axis_name):
+        """Global mean: psum of the local sum over psum of the local size.
+        Exact for the mapper's ray shards (ray counts are padded to a
+        device-count multiple, so every shard has equal size)."""
+        if axis_name is None:
+            return jnp.mean(x)
+        n = self._psum(jnp.full((), x.size, x.dtype), axis_name)
+        return self._psum(x, axis_name) / n
+
+    def co_sdf_losses(self, z_vals, target_d, sdf, axis_name=None):
         """Co-SLAM free-space + sdf losses (model/utils.py:117-185):
-        full-tensor MSE with mask-as-weight times the count-balance weights."""
+        full-tensor MSE with mask-as-weight times the count-balance weights.
+        `axis_name`: mesh axes to reduce over when rays are sharded — the
+        count-balance weights and means are then computed over the GLOBAL
+        ray batch, so the sharded loss equals the unsharded one."""
         truncation = self.trunc * self.sc_factor
         t = target_d.reshape(-1, 1)
         front_mask = (z_vals < (t - truncation)).astype(z_vals.dtype)
@@ -467,23 +509,24 @@ class SceneRep:
         depth_mask = (t > 0.0).astype(z_vals.dtype)
         sdf_mask = (1.0 - front_mask) * (1.0 - back_mask) * depth_mask
 
-        num_fs = jnp.sum(front_mask)
-        num_sdf = jnp.sum(sdf_mask)
+        num_fs = self._psum(front_mask, axis_name)
+        num_sdf = self._psum(sdf_mask, axis_name)
         num = jnp.maximum(num_fs + num_sdf, 1.0)
         fs_weight = 1.0 - num_fs / num
         sdf_weight = 1.0 - num_sdf / num
 
-        fs_loss = jnp.mean(jnp.square(sdf * front_mask - front_mask)) * fs_weight
-        sdf_loss = (
-            jnp.mean(jnp.square((z_vals + sdf * truncation) * sdf_mask - t * sdf_mask))
-            * sdf_weight
-        )
+        fs_loss = self._pmean(
+            jnp.square(sdf * front_mask - front_mask), axis_name) * fs_weight
+        sdf_loss = self._pmean(
+            jnp.square((z_vals + sdf * truncation) * sdf_mask - t * sdf_mask),
+            axis_name) * sdf_weight
         return fs_loss, sdf_loss
 
-    def eslam_sdf_losses(self, z_vals, target_d, sdf):
+    def eslam_sdf_losses(self, z_vals, target_d, sdf, axis_name=None):
         """ESLAM three-band losses (scene_rep.py:475-511) as masked means
         (boolean indexing -> sum/count for static shapes). Rays with invalid
-        depth are excluded via the depth mask."""
+        depth are excluded via the depth mask. `axis_name` globalizes the
+        masked means over sharded ray batches."""
         tr = self.truncation_model
         t = target_d.reshape(-1, 1)
         ray_valid = (t.reshape(-1) > 0).astype(z_vals.dtype)[:, None]
@@ -496,7 +539,8 @@ class SceneRep:
         tail = (1 - front) * (1 - back) * (1 - center) * ray_valid
 
         def masked_mean(x, m):
-            return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+            return self._psum(x * m, axis_name) / jnp.maximum(
+                self._psum(m, axis_name), 1.0)
 
         fs_loss = masked_mean(jnp.square(sdf - 1.0), front)
         est_d = z_vals + sdf * tr
@@ -512,26 +556,40 @@ class SceneRep:
         target_rgb: jax.Array,
         target_d: jax.Array,
         key: Optional[jax.Array] = None,
+        axis_name=None,
+        rng_block=None,
     ) -> Dict[str, jax.Array]:
-        """Training forward: render + full loss dict (scene_rep.py:549-611)."""
-        rend = self.render_rays(params, rays_o, rays_d, target_d=target_d, key=key)
+        """Training forward: render + full loss dict (scene_rep.py:549-611).
+
+        `axis_name`: mesh axis name(s) when rays_o/… are the local shard of
+        a sharded ray batch (the shard_map row-sharded mapper) — every loss
+        reduction is then psum-globalized so the returned losses equal the
+        unsharded batch's values on every device. `rng_block=(n_total,
+        offset)` makes the per-ray sampling randomness slice-consistent
+        with the unsharded batch."""
+        rend = self.render_rays(params, rays_o, rays_d, target_d=target_d,
+                                key=key, rng_block=rng_block)
 
         t = target_d.reshape(-1)
         valid_depth = ((t > 0.0) & (t < self.depth_trunc)).astype(rays_o.dtype)
-        n_valid = jnp.maximum(jnp.sum(valid_depth), 1.0)
+        n_valid = jnp.maximum(self._psum(valid_depth, axis_name), 1.0)
 
-        rgb_loss = jnp.mean(jnp.square(rend["rgb"] - target_rgb))
+        rgb_loss = self._pmean(jnp.square(rend["rgb"] - target_rgb), axis_name)
         psnr = -10.0 * jnp.log(jnp.maximum(rgb_loss, 1e-12)) / jnp.log(10.0)
-        depth_loss = jnp.sum(jnp.square(rend["depth"] - t) * valid_depth) / n_valid
+        depth_loss = self._psum(
+            jnp.square(rend["depth"] - t) * valid_depth, axis_name) / n_valid
         if "rgb0" in rend:  # coarse-pass losses (scene_rep.py:579-581)
-            rgb_loss = rgb_loss + jnp.mean(jnp.square(rend["rgb0"] - target_rgb))
-            depth_loss = depth_loss + \
-                jnp.sum(jnp.square(rend["depth0"] - t) * valid_depth) / n_valid
+            rgb_loss = rgb_loss + self._pmean(
+                jnp.square(rend["rgb0"] - target_rgb), axis_name)
+            depth_loss = depth_loss + self._psum(
+                jnp.square(rend["depth0"] - t) * valid_depth, axis_name) / n_valid
 
         sdf = rend["raw"][..., 3]
         z_vals = rend["z_vals"]
-        co_fs_loss, co_sdf_loss = self.co_sdf_losses(z_vals, target_d, sdf)
-        e_fs_loss, e_center_loss, e_tail_loss = self.eslam_sdf_losses(z_vals, target_d, sdf)
+        co_fs_loss, co_sdf_loss = self.co_sdf_losses(
+            z_vals, target_d, sdf, axis_name=axis_name)
+        e_fs_loss, e_center_loss, e_tail_loss = self.eslam_sdf_losses(
+            z_vals, target_d, sdf, axis_name=axis_name)
 
         return {
             "rgb": rend["rgb"],

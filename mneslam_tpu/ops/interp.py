@@ -84,6 +84,69 @@ def pack_corners(plane: jax.Array) -> jax.Array:
     return packed.reshape(H * W, 4 * C)
 
 
+def _flat_masks(H: int, W: int, R: int, dtype=jnp.bool_):
+    """Row/col boundary masks for flat [R>=H*W, ...] tables (row r = y*W+x).
+    Built from iota inside the trace (never a materialized host constant —
+    the remote TPU compiler chokes on big closed-over constants)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    y, x = r // W, r % W
+    return {
+        "x_last": x == W - 1,
+        "x_gt0": x > 0,
+        "y_last": y == H - 1,
+        "valid": y < H,
+    }
+
+
+def pack_corners_flat(flat: jax.Array, H: int, W: int) -> jax.Array:
+    """`pack_corners` on a row-major flat plane: [H*W, C] -> [H*W, 4C].
+
+    Bit-identical to ``pack_corners(plane)`` for
+    ``flat = plane.transpose(1, 2, 0).reshape(H*W, C)`` — same corner
+    values, same lane order (00|01|10|11), same border clamping — but
+    expressed entirely as axis-0 shifts + boundary selects, so a row-sharded
+    input needs only 1- and W-row halos (GSPMD collective-permute) instead
+    of a relayout. This is the local pack of the row-sharded mapper's
+    raw-rows all-gather path (the seam gathers ~4x fewer bytes than
+    gathering the packed table)."""
+    m = _flat_masks(H, W, H * W)
+    a1 = jnp.concatenate([flat[1:], flat[-1:]], axis=0)       # a[r+1]
+    sx = jnp.where(m["x_last"], flat, a1)
+    aW = jnp.concatenate([flat[W:], flat[-W:]], axis=0)       # a[r+W]
+    sy = jnp.where(m["y_last"], flat, aW)
+    sy1 = jnp.concatenate([sy[1:], sy[-1:]], axis=0)
+    sxy = jnp.where(m["x_last"], sy, sy1)
+    return jnp.concatenate([flat, sx, sy, sxy], axis=-1)
+
+
+def unpack_corners_adjoint_flat(d_packed: jax.Array, H: int, W: int) -> jax.Array:
+    """Adjoint of `pack_corners_flat` on a (possibly row-padded) flat
+    cotangent: [R, 4C] -> [R, C] with R >= H*W; rows beyond H*W must be
+    zero on input and are zero on output. Exact transpose of the pack's
+    shift/clamp pattern (matches `_unpack_corners_adjoint` up to the
+    [C, H, W] <-> flat layout change)."""
+    R = d_packed.shape[0]
+    C4 = d_packed.shape[1]
+    C = C4 // 4
+    m = _flat_masks(H, W, R)
+    zdt = d_packed.dtype
+    d00, d01, d10, d11 = (d_packed[:, i * C:(i + 1) * C] for i in range(4))
+
+    def sbx(b):   # adjoint of the x-shift: b[r-1] where x>0, += b[r] at x==W-1
+        down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
+        return jnp.where(m["x_gt0"], down, jnp.zeros((), zdt)) + \
+            jnp.where(m["x_last"], b, jnp.zeros((), zdt))
+
+    def sby(b):   # adjoint of the y-shift: b[r-W] (zero prefix), += b[r] at y==H-1
+        down = jnp.concatenate([jnp.zeros_like(b[:W]), b[:-W]], axis=0)
+        return down + jnp.where(m["y_last"], b, jnp.zeros((), zdt))
+
+    out = d00 + sbx(d01) + sby(d10 + sbx(d11))
+    if R > H * W:
+        out = jnp.where(m["valid"], out, jnp.zeros((), zdt))
+    return out
+
+
 def grid_sample_2d_packed(packed: jax.Array, shape, coords: jax.Array) -> jax.Array:
     """Bilinear sample from a `pack_corners` table: ONE gather per point.
 

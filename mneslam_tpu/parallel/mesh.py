@@ -97,31 +97,108 @@ def row_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def gather_table_rows(mesh: Mesh):
-    """Replicate-forward / shard-backward collective seam for parameter
-    tables.
+def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
+                          compute_dtype=jnp.float32,
+                          param_dtype=jnp.float32,
+                          fold: str = "after"):
+    """The row-sharded mapper's collective seam (shard_map-internal,
+    round 4): all-gather the RAW plane rows, pack locally, reduce-scatter
+    the cotangent.
 
-    Forward: constrain a row-sharded table to replicated — GSPMD inserts
-    an all-gather over ICI (every device needs the full table for random
-    row gathers). Backward: constrain the cotangent to row-sharded — the
-    per-device partial scatter-adds feeding it then lower to a
-    reduce-scatter instead of an all-reduce, and everything downstream of
-    the cotangent (the `pack_corners` adjoint fold, Adam) runs on the
-    local row shard only. A plain `with_sharding_constraint` can't express
-    this: its transpose re-applies the FORWARD sharding to the cotangent,
-    which would replicate the gradient and un-shard the fold."""
-    rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    Called INSIDE a shard_map over `axis_names` (sizes `axis_sizes`). Input:
+    the device-local block [pad_h*W/N, C] of a plane in flat row-major
+    layout (row r = y*W + x, rows >= H*W zero-padded). Output: the full
+    replicated `pack_corners` table [H*W, 4C] in `compute_dtype`.
+
+    Why explicit collectives: GSPMD given the equivalent
+    with_sharding_constraint seam multiplies the gathers — at reference
+    shapes its partitioning all-gathers each of the pack's shift pieces
+    separately (4x the raw bytes) AND all-gathers the backward's 92k
+    scatter values per fine plane (~460-690 MB/iter total, measured from
+    the compiled CPU-mesh HLO, round 4). Writing the seam as
+    lax.all_gather/psum_scatter pins the program to the designed payloads:
+    raw rows forward (~4x fewer bytes than the round-3 packed-table
+    gather), one reduction backward.
+
+    Why the asymmetry (round-3/4 measurements, BASELINE.md): forward packs
+    AFTER the gather (the pack is cheap dense shifts; gathering packed
+    rows costs 4x the ICI). Backward offers two exact orderings of the
+    linear fold (`fold=`):
+      * "after": reduce-scatter the PACKED cotangent [H*W, 4C], then fold
+        the local rows/N block (needs a 1-y-row halo from the previous
+        block — the x-shift is y-row-internal, the y-shift moves exactly
+        one y-row, so an all-gather of each block's last y-row suffices).
+        Minimal per-device compute; 4x the reduction payload.
+      * "before": fold the full packed cotangent locally (fold is linear,
+        so fold-then-reduce == reduce-then-fold exactly), then
+        reduce-scatter the RAW [pad_h*W, C] cotangent. 4x less ICI; pays
+        a full-size (flat, transpose-free) fold per device.
+    Neither ordering is the forward's linear transpose applied naively,
+    hence the custom VJP."""
+    from ..ops import interp
+
+    C, H, W = (int(s) for s in true_shape)
+    R, Rp = H * W, int(pad_h) * W
+    names = tuple(axis_names)
+    sizes = tuple(int(s) for s in axis_sizes)
+    n_dev = int(np.prod(sizes))
+    assert Rp % n_dev == 0 and (Rp // n_dev) % W == 0, (Rp, n_dev, W)
+    B = Rp // n_dev                      # local block: whole y-rows
+
+    def _dev_index():
+        d = jnp.zeros((), jnp.int32)
+        for name, size in zip(names, sizes):
+            d = d * size + jax.lax.axis_index(name)
+        return d
+
+    def _fold_block(blk):
+        """Fold the reduce-scattered packed cotangent block [B, 4C] to the
+        raw block [B, C]. Only the y-shift crosses block boundaries, by
+        exactly one y-row, so the halo is each block's last y-row."""
+        zdt = blk.dtype
+        dev = _dev_index()
+        r = dev * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        y, xx = r // W, r % W
+        x_last, x_gt0, y_last, valid = xx == W - 1, xx > 0, y == H - 1, y < H
+        d00, d01, d10, d11 = (blk[:, i * C:(i + 1) * C] for i in range(4))
+
+        def sbx(b):  # y-row-internal (x == 0 rows are masked, never cross)
+            down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
+            return jnp.where(x_gt0, down, jnp.zeros((), zdt)) + \
+                jnp.where(x_last, b, jnp.zeros((), zdt))
+
+        b = d10 + sbx(d11)
+        tails = jax.lax.all_gather(b[-W:], names, axis=0, tiled=True)
+        prev = jax.lax.dynamic_slice_in_dim(
+            tails, jnp.maximum(dev - 1, 0) * W, W, axis=0)
+        prev = jnp.where(dev > 0, prev, jnp.zeros((), zdt))
+        sby_b = jnp.concatenate([prev, b[:-W]], axis=0) + \
+            jnp.where(y_last, b, jnp.zeros((), zdt))
+        out = d00 + sbx(d01) + sby_b
+        return jnp.where(valid, out, jnp.zeros((), zdt))
 
     @jax.custom_vjp
     def f(x):
-        return jax.lax.with_sharding_constraint(x, rep)
+        xg = jax.lax.all_gather(x.astype(compute_dtype), names, axis=0,
+                                tiled=True)
+        return interp.pack_corners_flat(xg[:R], H, W)
 
     def fwd(x):
-        return jax.lax.with_sharding_constraint(x, rep), None
+        return f(x), None
 
-    def bwd(_, ct):
-        return (jax.lax.with_sharding_constraint(ct, shard),)
+    def bwd(_, d_packed):
+        d = d_packed
+        if Rp > R:
+            d = jnp.pad(d, ((0, Rp - R), (0, 0)))
+        if fold == "before":
+            full = interp.unpack_corners_adjoint_flat(d, H, W)   # [Rp, C]
+            out = jax.lax.psum_scatter(full, names, scatter_dimension=0,
+                                       tiled=True)
+        else:
+            blk = jax.lax.psum_scatter(d, names, scatter_dimension=0,
+                                       tiled=True)               # [B, 4C]
+            out = _fold_block(blk)
+        return (out.astype(param_dtype),)
 
     f.defvjp(fwd, bwd)
     return f

@@ -44,6 +44,17 @@ class Backend:
         self.corr_chunk = int(be.get("corr_chunk", 256))
         self.update_fn = update_fn
         self.agg_fn = agg_fn
+        # incremental frame-distance cache (tracking/dist_cache.py): the
+        # reference launches its CUDA frame_distance over ALL pairs per BA
+        # (backend.py:25-123); the cache recomputes only pairs whose
+        # endpoints' pose/disp moved beyond tolerance since last proposal
+        cc = be.get("dist_cache", {})
+        self.dist_cache = None
+        if bool(cc.get("enabled", True)):
+            from .dist_cache import FrameDistanceCache
+            self.dist_cache = FrameDistanceCache(
+                buffer, pose_tol=float(cc.get("pose_tol", 1e-4)),
+                disp_tol=float(cc.get("disp_tol", 1e-3)), beta=self.beta)
 
     # beyond this many frames, the windowed dense-E solver's memory blows up
     # (N*N*6*HW floats) — switch to the full-history sparse-Schur path
@@ -79,8 +90,12 @@ class Backend:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
-        d = video_lib.frame_distance_padded(
-            state, self.intrinsics, ii, jj, beta=self.beta).astype(np.float64)
+        if self.dist_cache is not None:
+            d = self.dist_cache.distance_grid(state, self.intrinsics, ii, jj,
+                                              t_end)
+        else:
+            d = video_lib.frame_distance_padded(
+                state, self.intrinsics, ii, jj, beta=self.beta).astype(np.float64)
         rawd = d.copy().reshape(ilen, jlen)
         d[ii - radius < jj] = np.inf
         d[d > thresh] = np.inf

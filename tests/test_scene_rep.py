@@ -84,6 +84,42 @@ def test_sample_plane_packed_custom_vjp():
                                np.asarray(gb_c)[no_tie], atol=1e-4)
 
 
+def test_pack_corners_flat_and_adjoint():
+    """Flat row-major pack/fold (the row-sharded mapper's raw-rows
+    all-gather seam, parallel/mesh.make_row_sharded_pack):
+    `pack_corners_flat` == `pack_corners` bit-for-bit, and
+    `unpack_corners_adjoint_flat` is its exact transpose — including on a
+    row-padded table, where pad rows must stay zero both ways."""
+    C, H, W = 6, 11, 13
+    plane = jax.random.normal(jax.random.PRNGKey(7), (C, H, W))
+    flat = jnp.transpose(plane, (1, 2, 0)).reshape(H * W, C)
+
+    p_ref = interp.pack_corners(plane)
+    p_flat = interp.pack_corners_flat(flat, H, W)
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_flat))
+
+    d = jax.random.normal(jax.random.PRNGKey(8), (H * W, 4 * C))
+    a_ref = interp._unpack_corners_adjoint(d, C, H, W)
+    a_flat = interp.unpack_corners_adjoint_flat(d, H, W)
+    np.testing.assert_allclose(
+        np.asarray(a_ref),
+        np.asarray(jnp.transpose(a_flat.reshape(H, W, C), (2, 0, 1))),
+        atol=1e-6)
+
+    # true-transpose dot test: <pack(v), d> == <v, fold(d)>
+    v = jax.random.normal(jax.random.PRNGKey(9), (H * W, C))
+    lhs = float(jnp.vdot(interp.pack_corners_flat(v, H, W), d))
+    rhs = float(jnp.vdot(v, a_flat))
+    assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+    # padded fold: zero pad rows in, identical true rows + zero pad rows out
+    Rp = 16 * W
+    dp = jnp.pad(d, ((0, Rp - H * W), (0, 0)))
+    a_pad = interp.unpack_corners_adjoint_flat(dp, H, W)
+    np.testing.assert_array_equal(np.asarray(a_pad[:H * W]), np.asarray(a_flat))
+    assert float(jnp.abs(a_pad[H * W:]).max()) == 0.0
+
+
 def test_upsample_exact_preserves_bilinear():
     """interp.upsample_exact: sampling the k-times upsampled plane ==
     sampling the original (align_corners bilinear is reproduced exactly on
