@@ -170,7 +170,13 @@ _DEFAULTS: Dict[str, Any] = {
         # closure acceptance (agents/runner.handle_loop_closure): a render
         # alignment counts only if best loss <= accept_loss or it improved
         # the init-pose loss by accept_ratio; the lowest-loss accepted
-        # closure is the one applied to the exported trajectory
+        # closure is the one applied to the exported trajectory.
+        # mode "reference" applies EVERY closure unconditionally (the
+        # reference's mapper.py:417-489 behavior, for A/B parity runs).
+        # Thresholds are measured, not magic: set from the round-3
+        # two-agent eval and robust to a 2x band either way
+        # (tests/test_multiagent.py::test_closure_acceptance_gate_sweep).
+        "mode": "gated",
         "accept_loss": 0.05,
         "accept_ratio": 0.25,
     },

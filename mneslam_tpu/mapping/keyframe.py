@@ -90,17 +90,15 @@ def add_keyframe(
     )
 
 
-def del_keyframe(db: KeyframeDB, slot: jax.Array) -> KeyframeDB:
-    """Remove a keyframe slot and compact (keyframe.py:52-62, invoked when
-    the tracker culls a redundant keyframe, factor_graph.py:184)."""
-    num_kf = db.rays.shape[0]
-    idx = jnp.arange(num_kf)
-    src = jnp.where(idx >= slot, jnp.minimum(idx + 1, num_kf - 1), idx)
-    return KeyframeDB(
-        rays=db.rays[src],
-        frame_ids=db.frame_ids[src].at[num_kf - 1].set(-1),
-        count=jnp.maximum(db.count - 1, 0),
-    )
+# NOTE: there is deliberately no del_keyframe here. The reference deletes
+# mapped keyframes when the tracker culls one (keyframe.py:52-62 via
+# factor_graph.py:163-221) because its mapper races tracking. In this
+# rebuild the mapper lags tracking by >= 1 keyframe
+# (slam.pending_keyframe's map_counter < counter - 1 guard) and the
+# frontend only ever culls the newest-but-one slot (frontend.py t1 - 2),
+# which is therefore always still unmapped — a culled keyframe can never
+# be in this DB. The invariant is executable:
+# tests/test_slam_full.py::test_full_slam_with_culling_and_loop_ba.
 
 
 def keyframe_selection_overlap(

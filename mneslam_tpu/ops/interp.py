@@ -75,8 +75,19 @@ def pack_corners(plane: jax.Array) -> jax.Array:
     index count 4x for free. The pack itself is dense shifted copies,
     O(4 * plane bytes) once per step, amortized over ~1e5 sample gathers.
     """
-    C, H, W = plane.shape
-    hwc = jnp.transpose(plane, (1, 2, 0))              # [H, W, C]
+    return pack_corners_hwc(jnp.transpose(plane, (1, 2, 0)))
+
+
+def pack_corners_hwc(hwc: jax.Array) -> jax.Array:
+    """`pack_corners` on an [H, W, C] feature image (no transpose).
+
+    This 2D slice-concat form is the FAST pack on v5e: an equivalent
+    flat-row formulation that replaced the border clamps with
+    iota-mask `where` selects measured ~6x slower in the mapping step
+    (tools/prof_zero2 6.86 vs prof_zero3 F3 1.12 ms/iter at full
+    reference tables) — the selects materialize every shifted piece
+    before the lane concat, while pure slice-concats fuse."""
+    H, W, C = hwc.shape
     sx = jnp.concatenate([hwc[:, 1:], hwc[:, -1:]], axis=1)
     sy = jnp.concatenate([hwc[1:], hwc[-1:]], axis=0)
     sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
@@ -84,67 +95,57 @@ def pack_corners(plane: jax.Array) -> jax.Array:
     return packed.reshape(H * W, 4 * C)
 
 
-def _flat_masks(H: int, W: int, R: int, dtype=jnp.bool_):
-    """Row/col boundary masks for flat [R>=H*W, ...] tables (row r = y*W+x).
-    Built from iota inside the trace (never a materialized host constant —
-    the remote TPU compiler chokes on big closed-over constants)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    y, x = r // W, r % W
-    return {
-        "x_last": x == W - 1,
-        "x_gt0": x > 0,
-        "y_last": y == H - 1,
-        "valid": y < H,
-    }
+def _fold_b_rows(d_rows: jax.Array):
+    """The y-shift operand of the corner fold on whole y-rows:
+    b = d10 + shift_back_x(d11), computed row-locally (the x-shift never
+    crosses y-rows). d_rows [Hb, W, 4C] -> [Hb, W, C]."""
+    C = d_rows.shape[-1] // 4
+    d10 = d_rows[..., 2 * C:3 * C]
+    d11 = d_rows[..., 3 * C:4 * C]
+    return d10 + _shift_back_x(d11)
 
 
-def pack_corners_flat(flat: jax.Array, H: int, W: int) -> jax.Array:
-    """`pack_corners` on a row-major flat plane: [H*W, C] -> [H*W, 4C].
-
-    Bit-identical to ``pack_corners(plane)`` for
-    ``flat = plane.transpose(1, 2, 0).reshape(H*W, C)`` — same corner
-    values, same lane order (00|01|10|11), same border clamping — but
-    expressed entirely as axis-0 shifts + boundary selects, so a row-sharded
-    input needs only 1- and W-row halos (GSPMD collective-permute) instead
-    of a relayout. This is the local pack of the row-sharded mapper's
-    raw-rows all-gather path (the seam gathers ~4x fewer bytes than
-    gathering the packed table)."""
-    m = _flat_masks(H, W, H * W)
-    a1 = jnp.concatenate([flat[1:], flat[-1:]], axis=0)       # a[r+1]
-    sx = jnp.where(m["x_last"], flat, a1)
-    aW = jnp.concatenate([flat[W:], flat[-W:]], axis=0)       # a[r+W]
-    sy = jnp.where(m["y_last"], flat, aW)
-    sy1 = jnp.concatenate([sy[1:], sy[-1:]], axis=0)
-    sxy = jnp.where(m["x_last"], sy, sy1)
-    return jnp.concatenate([flat, sx, sy, sxy], axis=-1)
+def _shift_back_x(a):
+    main = jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+    return main.at[:, -1].add(a[:, -1])
 
 
-def unpack_corners_adjoint_flat(d_packed: jax.Array, H: int, W: int) -> jax.Array:
-    """Adjoint of `pack_corners_flat` on a (possibly row-padded) flat
-    cotangent: [R, 4C] -> [R, C] with R >= H*W; rows beyond H*W must be
-    zero on input and are zero on output. Exact transpose of the pack's
-    shift/clamp pattern (matches `_unpack_corners_adjoint` up to the
-    [C, H, W] <-> flat layout change)."""
-    R = d_packed.shape[0]
-    C4 = d_packed.shape[1]
-    C = C4 // 4
-    m = _flat_masks(H, W, R)
-    zdt = d_packed.dtype
-    d00, d01, d10, d11 = (d_packed[:, i * C:(i + 1) * C] for i in range(4))
+def fold_corners_rows(d_rows: jax.Array, H: int, W: int, y0=0,
+                      halo_row: jax.Array | None = None) -> jax.Array:
+    """Adjoint of `pack_corners_hwc` on a block of whole y-rows.
 
-    def sbx(b):   # adjoint of the x-shift: b[r-1] where x>0, += b[r] at x==W-1
-        down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
-        return jnp.where(m["x_gt0"], down, jnp.zeros((), zdt)) + \
-            jnp.where(m["x_last"], b, jnp.zeros((), zdt))
+    d_rows [Hb*W, 4C]: packed-table cotangent rows for global y in
+    [y0, y0+Hb) (rows with y >= H must be zero — the row-sharding pad).
+    halo_row [W, C] or None: the y-shift contribution entering from row
+    y0-1 — the previous block's last `_fold_b_rows` row (None = zeros,
+    correct for y0 == 0 or single-block use). Returns the raw-plane
+    cotangent rows [Hb*W, C], pad rows zero.
 
-    def sby(b):   # adjoint of the y-shift: b[r-W] (zero prefix), += b[r] at y==H-1
-        down = jnp.concatenate([jnp.zeros_like(b[:W]), b[:-W]], axis=0)
-        return down + jnp.where(m["y_last"], b, jnp.zeros((), zdt))
+    Block-composable: folding consecutive blocks with the proper halos
+    equals folding the full table, because the x-shift is y-row-internal
+    and the y-shift moves exactly ONE y-row. This is the row-local fold
+    of the row-sharded mapper's backward (the reduce-scattered packed
+    cotangent block folds with a one-row halo; `y0` is traced —
+    jax.lax.axis_index-derived — inside shard_map). Like the pack, the
+    2D slice/concat form measures far cheaper on v5e than a flat
+    iota-masked formulation (BASELINE.md round 4)."""
+    Hb = d_rows.shape[0] // W
+    C = d_rows.shape[1] // 4
+    d = d_rows.reshape(Hb, W, 4 * C)
+    zdt = d_rows.dtype
+    d00 = d[..., 0 * C:1 * C]
+    d01 = d[..., 1 * C:2 * C]
 
-    out = d00 + sbx(d01) + sby(d10 + sbx(d11))
-    if R > H * W:
-        out = jnp.where(m["valid"], out, jnp.zeros((), zdt))
-    return out
+    b = _fold_b_rows(d)
+    halo = (jnp.zeros((1, W, C), zdt) if halo_row is None
+            else halo_row.reshape(1, W, C).astype(zdt))
+    shifted = jnp.concatenate([halo, b[:-1]], axis=0)
+    y = y0 + jax.lax.broadcasted_iota(jnp.int32, (Hb, 1, 1), 0)
+    out = d00 + _shift_back_x(d01) + shifted + \
+        jnp.where(y == H - 1, b, jnp.zeros((), zdt))
+    if not (isinstance(y0, int) and y0 == 0 and Hb == H):
+        out = jnp.where(y < H, out, jnp.zeros((), zdt))
+    return out.reshape(Hb * W, C)
 
 
 def grid_sample_2d_packed(packed: jax.Array, shape, coords: jax.Array) -> jax.Array:

@@ -154,34 +154,24 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
     def _fold_block(blk):
         """Fold the reduce-scattered packed cotangent block [B, 4C] to the
         raw block [B, C]. Only the y-shift crosses block boundaries, by
-        exactly one y-row, so the halo is each block's last y-row."""
-        zdt = blk.dtype
+        exactly one y-row, so the halo is each block's last `b` row
+        (interp._fold_b_rows), exchanged with one small all-gather."""
         dev = _dev_index()
-        r = dev * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-        y, xx = r // W, r % W
-        x_last, x_gt0, y_last, valid = xx == W - 1, xx > 0, y == H - 1, y < H
-        d00, d01, d10, d11 = (blk[:, i * C:(i + 1) * C] for i in range(4))
-
-        def sbx(b):  # y-row-internal (x == 0 rows are masked, never cross)
-            down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
-            return jnp.where(x_gt0, down, jnp.zeros((), zdt)) + \
-                jnp.where(x_last, b, jnp.zeros((), zdt))
-
-        b = d10 + sbx(d11)
-        tails = jax.lax.all_gather(b[-W:], names, axis=0, tiled=True)
+        b_tail = interp._fold_b_rows(blk[-W:].reshape(1, W, 4 * C))
+        tails = jax.lax.all_gather(b_tail.reshape(W, C), names, axis=0,
+                                   tiled=True)            # [n_dev*W, C]
         prev = jax.lax.dynamic_slice_in_dim(
             tails, jnp.maximum(dev - 1, 0) * W, W, axis=0)
-        prev = jnp.where(dev > 0, prev, jnp.zeros((), zdt))
-        sby_b = jnp.concatenate([prev, b[:-W]], axis=0) + \
-            jnp.where(y_last, b, jnp.zeros((), zdt))
-        out = d00 + sbx(d01) + sby_b
-        return jnp.where(valid, out, jnp.zeros((), zdt))
+        prev = jnp.where(dev > 0, prev, jnp.zeros((), blk.dtype))
+        hb = B // W
+        return interp.fold_corners_rows(blk, H, W, y0=dev * hb,
+                                        halo_row=prev)
 
     @jax.custom_vjp
     def f(x):
         xg = jax.lax.all_gather(x.astype(compute_dtype), names, axis=0,
                                 tiled=True)
-        return interp.pack_corners_flat(xg[:R], H, W)
+        return interp.pack_corners_hwc(xg[:R].reshape(H, W, xg.shape[-1]))
 
     def fwd(x):
         return f(x), None
@@ -191,7 +181,7 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
         if Rp > R:
             d = jnp.pad(d, ((0, Rp - R), (0, 0)))
         if fold == "before":
-            full = interp.unpack_corners_adjoint_flat(d, H, W)   # [Rp, C]
+            full = interp.fold_corners_rows(d, H, W)             # [Rp, C]
             out = jax.lax.psum_scatter(full, names, scatter_dimension=0,
                                        tiled=True)
         else:

@@ -113,20 +113,13 @@ def test_keyframe_db_roundtrip():
     np.testing.assert_allclose(np.asarray(rays[:, 6]), 1.0)
 
 
-def test_keyframe_deletion_and_overlap_selection():
+def test_keyframe_overlap_selection():
     from mneslam_tpu.mapping import keyframe as kf_lib
 
-    db = kf_lib.init_db(num_kf=4, rays_per_kf=16)
     key = jax.random.PRNGKey(0)
-    H, W = 8, 10
-    for fid in (5, 9, 13):
-        db = kf_lib.add_keyframe(db, jax.random.fold_in(key, fid), jnp.asarray(fid),
-                                 jax.random.normal(key, (H, W, 3)),
-                                 jax.random.uniform(key, (H, W, 3)),
-                                 jnp.ones((H, W)))
-    db2 = kf_lib.del_keyframe(db, jnp.asarray(1))
-    assert int(db2.count) == 2
-    assert list(np.asarray(db2.frame_ids[:3])) == [5, 13, -1]
+    # (keyframe deletion is deliberately absent: the mapper lags tracking,
+    # so culled keyframes are never mapped — see mapping/keyframe.py note
+    # and test_slam_full.py::test_full_slam_with_culling_and_loop_ba)
 
     # overlap: identical pose sees everything; a far pose sees nothing
     poses = jnp.stack([jnp.eye(4), jnp.eye(4).at[0, 3].set(50.0)])

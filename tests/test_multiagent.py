@@ -180,6 +180,112 @@ def test_closure_acceptance_gate(monkeypatch):
     np.testing.assert_allclose(np.asarray(pub_poses), rel3 @ poses_of(9), atol=1e-5)
 
 
+def _gate_scenario(monkeypatch, lc_overrides):
+    """Shared scaffold for the gate tests: a stubbed two-agent closure
+    scenario (agent 1's world biased by `cur`; one TRUE converged closure,
+    one SPURIOUS non-converged one arriving later). Returns
+    (collab, drive, rel_true, poses_of) where drive(best_c2w, best, init,
+    map_id, n) runs one handle_loop_closure call."""
+    from types import SimpleNamespace
+
+    from mneslam_tpu.agents import fusion as fusion_mod
+    from mneslam_tpu.agents.netvlad import stub_descriptor
+    from mneslam_tpu.agents.runner import AgentCollaboration
+
+    cfg = tiny_cfg()
+    cfg["loop_closure"] = {"pose_decay_sigma": 1e6,
+                           "pose_decay_min_weight": 1.0, **lc_overrides}
+    H, W = cfg["cam"]["H"], cfg["cam"]["W"]
+    dirs = np.random.default_rng(0).standard_normal((H, W, 3)).astype(np.float32)
+    slam = SimpleNamespace(
+        config=cfg, rank=1, world_size=2,
+        scene=SimpleNamespace(bounding_box=np.asarray(cfg["mapping"]["bound"])),
+        map_state=SimpleNamespace(params={}),
+        dataset={0: {"direction": dirs}},
+    )
+    comms = InMemoryComms()
+    collab = AgentCollaboration(slam, comms, descriptor_fn=stub_descriptor)
+    monkeypatch.setattr(collab, "_load_foreign", lambda rank: (object(), {}))
+
+    base_pose = np.eye(4, dtype=np.float32)
+    base_pose[:3, 3] = [1.0, 0.5, 0.0]
+    comms.publish_keyframes(0, base_pose[None], np.asarray([7.0]))
+
+    def poses_of(n):
+        p = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        p[:, 0, 3] = np.arange(n, dtype=np.float32)
+        return p
+
+    cur = np.eye(4, dtype=np.float32)
+    cur[:3, 3] = [2.0, 0.0, 0.0]
+    returns = {}
+
+    def fake_align(*a, **k):
+        return (returns["best_c2w"], jnp.asarray(returns["best"]),
+                jnp.asarray(returns["init"]))
+
+    monkeypatch.setattr(fusion_mod, "align_pose_by_render", fake_align)
+    info = {"match_agent_id": 0, "match_kf_id": 7}
+
+    def drive(best_c2w, best, init, map_id, n):
+        returns.update(best_c2w=jnp.asarray(best_c2w), best=best, init=init)
+        collab.handle_loop_closure(info, map_id, cur, poses_of(n),
+                                   np.arange(float(n)))
+
+    rel_true = base_pose @ np.linalg.inv(cur)
+    return collab, drive, rel_true, poses_of, cur
+
+
+@pytest.mark.parametrize("accept_loss", [0.025, 0.05, 0.1])
+@pytest.mark.parametrize("accept_ratio", [0.125, 0.25, 0.5])
+def test_closure_acceptance_gate_sweep(monkeypatch, accept_loss, accept_ratio):
+    """Gate robustness over a 2x band each way around the defaults
+    (VERDICT r3 weak #6): at every threshold in the band the TRUE
+    converged closure (loss 0.01 << init 0.2) is accepted, the SPURIOUS
+    non-converged one (loss 0.4 ~ init 0.45) is rejected, and the final
+    keyframe poses carry the true correction."""
+    collab, drive, rel_true, poses_of, cur = _gate_scenario(
+        monkeypatch, {"accept_loss": accept_loss,
+                      "accept_ratio": accept_ratio})
+
+    drive(cur, best=0.01, init=0.2, map_id=3, n=4)        # true closure
+    assert collab.closure_loss == pytest.approx(0.01)
+
+    garbage = np.eye(4, dtype=np.float32)
+    garbage[:3, 3] = [55.0, -30.0, 10.0]
+    drive(garbage, best=0.4, init=0.45, map_id=5, n=6)    # spurious
+    assert collab.closure_loss == pytest.approx(0.01), (
+        accept_loss, accept_ratio)
+    err = np.abs(np.asarray(collab.aligned_poses_c2w)
+                 - rel_true @ poses_of(6)).max()
+    assert err < 1e-5, (accept_loss, accept_ratio, err)
+
+
+def test_closure_reference_mode_applies_every(monkeypatch):
+    """loop_closure.mode: reference reproduces the reference's
+    apply-every-closure behavior (mapper.py:417-489): each closure's
+    transform replaces the stored one unconditionally — including a later
+    non-converged spurious match, which then corrupts the export (the
+    documented failure the gated default prevents)."""
+    collab, drive, rel_true, poses_of, cur = _gate_scenario(
+        monkeypatch, {"mode": "reference"})
+
+    drive(cur, best=0.01, init=0.2, map_id=3, n=4)
+    np.testing.assert_allclose(np.asarray(collab.aligned_poses_c2w),
+                               rel_true @ poses_of(4), atol=1e-5)
+
+    garbage = np.eye(4, dtype=np.float32)
+    garbage[:3, 3] = [55.0, -30.0, 10.0]
+    drive(garbage, best=0.4, init=0.45, map_id=5, n=6)
+    assert collab.closure_loss == pytest.approx(0.4)
+    # the spurious transform IS applied (reference parity, not a bug here)
+    base_pose = np.eye(4, dtype=np.float32)
+    base_pose[:3, 3] = [1.0, 0.5, 0.0]
+    rel_bad = base_pose @ np.linalg.inv(garbage)
+    np.testing.assert_allclose(np.asarray(collab.aligned_poses_c2w),
+                               rel_bad @ poses_of(6), atol=1e-4)
+
+
 @pytest.mark.slow
 def test_render_pose_alignment_recovers_perturbation(tmp_path):
     """Train a map, perturb a pose, recover it by render alignment."""

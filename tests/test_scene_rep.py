@@ -84,40 +84,59 @@ def test_sample_plane_packed_custom_vjp():
                                np.asarray(gb_c)[no_tie], atol=1e-4)
 
 
-def test_pack_corners_flat_and_adjoint():
-    """Flat row-major pack/fold (the row-sharded mapper's raw-rows
-    all-gather seam, parallel/mesh.make_row_sharded_pack):
-    `pack_corners_flat` == `pack_corners` bit-for-bit, and
-    `unpack_corners_adjoint_flat` is its exact transpose — including on a
-    row-padded table, where pad rows must stay zero both ways."""
+def test_pack_corners_hwc_and_rows_fold():
+    """The row-sharded mapper's raw-rows collective seam primitives
+    (parallel/mesh.make_row_sharded_pack): `pack_corners_hwc` ==
+    `pack_corners` bit-for-bit, and `fold_corners_rows` is its exact
+    transpose — on the full table, on a row-padded table (pad rows zero
+    both ways), and composed block-by-block with one-y-row halos (the
+    reduce-scattered backward's fold)."""
     C, H, W = 6, 11, 13
     plane = jax.random.normal(jax.random.PRNGKey(7), (C, H, W))
-    flat = jnp.transpose(plane, (1, 2, 0)).reshape(H * W, C)
+    hwc = jnp.transpose(plane, (1, 2, 0))
 
     p_ref = interp.pack_corners(plane)
-    p_flat = interp.pack_corners_flat(flat, H, W)
-    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_flat))
+    p_hwc = interp.pack_corners_hwc(hwc)
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_hwc))
 
     d = jax.random.normal(jax.random.PRNGKey(8), (H * W, 4 * C))
     a_ref = interp._unpack_corners_adjoint(d, C, H, W)
-    a_flat = interp.unpack_corners_adjoint_flat(d, H, W)
+    a_rows = interp.fold_corners_rows(d, H, W)
     np.testing.assert_allclose(
         np.asarray(a_ref),
-        np.asarray(jnp.transpose(a_flat.reshape(H, W, C), (2, 0, 1))),
+        np.asarray(jnp.transpose(a_rows.reshape(H, W, C), (2, 0, 1))),
         atol=1e-6)
 
     # true-transpose dot test: <pack(v), d> == <v, fold(d)>
     v = jax.random.normal(jax.random.PRNGKey(9), (H * W, C))
-    lhs = float(jnp.vdot(interp.pack_corners_flat(v, H, W), d))
-    rhs = float(jnp.vdot(v, a_flat))
+    lhs = float(jnp.vdot(interp.pack_corners_hwc(v.reshape(H, W, C)), d))
+    rhs = float(jnp.vdot(v, a_rows))
     assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
 
     # padded fold: zero pad rows in, identical true rows + zero pad rows out
-    Rp = 16 * W
-    dp = jnp.pad(d, ((0, Rp - H * W), (0, 0)))
-    a_pad = interp.unpack_corners_adjoint_flat(dp, H, W)
-    np.testing.assert_array_equal(np.asarray(a_pad[:H * W]), np.asarray(a_flat))
+    Hp = 16
+    dp = jnp.pad(d, ((0, (Hp - H) * W, ), (0, 0)))
+    a_pad = interp.fold_corners_rows(dp, H, W)
+    np.testing.assert_array_equal(np.asarray(a_pad[:H * W]), np.asarray(a_rows))
     assert float(jnp.abs(a_pad[H * W:]).max()) == 0.0
+
+    # block composition: 4 blocks of Hp/4 y-rows with one-b-row halos ==
+    # the full fold (what the shard_map backward computes per device)
+    hb = Hp // 4
+    blocks = []
+    for k in range(4):
+        blk = dp[k * hb * W:(k + 1) * hb * W]
+        if k == 0:
+            halo = None
+        else:
+            prev_rows = dp[(k * hb - 1) * W:k * hb * W]
+            halo = interp._fold_b_rows(prev_rows.reshape(1, W, 4 * C)
+                                       ).reshape(W, C)
+        blocks.append(interp.fold_corners_rows(blk, H, W, y0=k * hb,
+                                               halo_row=halo))
+    a_blocks = jnp.concatenate(blocks, axis=0)
+    np.testing.assert_allclose(np.asarray(a_blocks), np.asarray(a_pad),
+                               atol=1e-6)
 
 
 def test_upsample_exact_preserves_bilinear():

@@ -1,7 +1,13 @@
-"""Per-device cost of the ROW-SHARDED mapping step, round-4 design
-(shard_map + explicit collectives: raw-rows all-gather -> local flat pack
-forward; reduce-scatter -> row-local fold backward; see
+"""Per-device cost of the ROW-SHARDED mapping step, round-4 FINAL design
+(shard_map + explicit collectives: raw-rows all-gather -> local hwc pack
+forward; reduce-scatter -> row-local hwc fold backward; see
 parallel/mesh.make_row_sharded_pack and Mapper._optimize_row_sharded).
+
+History: the first round-4 candidate packed/folded via flat row shifts
+with iota-mask selects — measured 6.86 ms/iter fwd vs 1.12 for the 2D
+slice-concat (hwc) form at identical payloads (the selects materialize
+every shifted piece; see prof_zero3 F2/F3 and BASELINE.md round 4). This
+tool now measures the production (hwc) form.
 
 Measures the PER-DEVICE program of that step on one chip, mirroring
 tools/prof_zero.py's round-3 conventions so numbers are comparable:
@@ -10,8 +16,8 @@ tools/prof_zero.py's round-3 conventions so numbers are comparable:
     the ICI time is estimated separately from payload sizes) — but the
     payload is now the RAW rows (C lanes), 4x less than round 3's packed
     gather,
-  * the pack runs at FULL size locally (pack_corners_flat — flat shifts,
-    no transpose),
+  * the pack runs at FULL size locally (pack_corners_hwc — 2D
+    slice-concats on the reshaped gather output),
   * the backward's scatter targets the full packed table (real, per
     device),
   * the reduce_scatter is mimicked by its local-compute lower bound (the
@@ -143,33 +149,10 @@ def main():
         R, Rp = Hh * Ww, pad_h(Hh) * Ww
         B = Rp // n_shards
 
-        def fold_block_local(blk):
-            """mesh.make_row_sharded_pack._fold_block with dev=0 and a
-            zero halo (cost-equivalent; the real halo is a [W, C]
-            all-gather whose ICI is negligible)."""
-            zdt = blk.dtype
-            r = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-            y, xx = r // Ww, r % Ww
-            x_last, x_gt0, y_last = xx == Ww - 1, xx > 0, y == Hh - 1
-            valid = y < Hh
-            d00, d01, d10, d11 = (blk[:, i * C:(i + 1) * C] for i in range(4))
-
-            def sbx(b):
-                down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
-                return jnp.where(x_gt0, down, jnp.zeros((), zdt)) + \
-                    jnp.where(x_last, b, jnp.zeros((), zdt))
-
-            b = d10 + sbx(d11)
-            prev = jnp.zeros((Ww, C), zdt)
-            sby_b = jnp.concatenate([prev, b[:-Ww]], axis=0) + \
-                jnp.where(y_last, b, jnp.zeros((), zdt))
-            out = d00 + sbx(d01) + sby_b
-            return jnp.where(valid, out, jnp.zeros((), zdt))
-
         @jax.custom_vjp
         def f(x):
             xg = jnp.concatenate([x.astype(cdt), rest], axis=0)  # AG write
-            return interp.pack_corners_flat(xg[:R], Hh, Ww)
+            return interp.pack_corners_hwc(xg[:R].reshape(Hh, Ww, C))
 
         def fwd(x):
             return f(x), None
@@ -178,10 +161,13 @@ def main():
             if Rp > R:
                 d = jnp.pad(d, ((0, Rp - R), (0, 0)))
             if fold_mode == "before":
-                full = interp.unpack_corners_adjoint_flat(d, Hh, Ww)
+                full = interp.fold_corners_rows(d, Hh, Ww)
                 out = full[:B]                       # raw RS local bound
             else:
-                out = fold_block_local(d[:B])        # packed RS local bound
+                # packed RS local bound + block fold (zero-halo stand-in;
+                # the real halo is one b-row over a tiny all-gather)
+                out = interp.fold_corners_rows(d[:B], Hh, Ww, y0=0,
+                                               halo_row=None)
             return (out.astype(jnp.float32),)
 
         f.defvjp(fwd, bwd)
@@ -247,14 +233,15 @@ def main():
         def f(flats):
             def body(i, acc):
                 for (c, h, w), fl in zip(shapes, flats):
-                    pk = interp.pack_corners_flat(fl * (1 + 1e-6 * i), h, w)
+                    pk = interp.pack_corners_hwc(
+                        (fl * (1 + 1e-6 * i)).reshape(h, w, c))
                     acc = acc + pk[0, 0].astype(jnp.float32)
                 return acc
             return jax.lax.fori_loop(0, K, body, 0.0)
         return f, flats
 
     f, a = make_pack_full(shapes)
-    results["pack_full"] = timed("flat pack, full tables (fwd local pack)", f, a)
+    results["pack_full"] = timed("hwc pack, full tables (fwd local pack)", f, a)
 
     def make_fold_full(shapes):
         ds_ = [jnp.asarray(rng.standard_normal((pad_h(h) * w, 4 * c)),
@@ -264,14 +251,14 @@ def main():
         def f(ds_):
             def body(i, acc):
                 for (c, h, w), d in zip(shapes, ds_):
-                    out = interp.unpack_corners_adjoint_flat(d * (1 + 1e-6 * i), h, w)
+                    out = interp.fold_corners_rows(d * (1 + 1e-6 * i), h, w)
                     acc = acc + out[0, 0].astype(jnp.float32)
                 return acc
             return jax.lax.fori_loop(0, K, body, 0.0)
         return f, ds_
 
     f, a = make_fold_full(shapes)
-    results["fold_full_flat"] = timed("flat fold, full tables (fold=before)", f, a)
+    results["fold_full_flat"] = timed("hwc fold, full tables (fold=before)", f, a)
 
     def make_fold_block(shapes):
         ds_ = [jnp.asarray(rng.standard_normal((pad_h(h) * w // n_shards, 4 * c)),
@@ -281,22 +268,8 @@ def main():
         def f(ds_):
             def body(i, acc):
                 for (c, h, w), d in zip(shapes, ds_):
-                    B = pad_h(h) * w // n_shards
-                    r = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-                    y, xx = r // w, r % w
-                    dd = d * (1 + 1e-6 * i)
-                    d00, d01, d10, d11 = (dd[:, j * c:(j + 1) * c] for j in range(4))
-
-                    def sbx(b):
-                        down = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
-                        return jnp.where(xx > 0, down, jnp.zeros((), dd.dtype)) + \
-                            jnp.where(xx == w - 1, b, jnp.zeros((), dd.dtype))
-
-                    b = d10 + sbx(d11)
-                    sby_b = jnp.concatenate(
-                        [jnp.zeros((w, c), dd.dtype), b[:-w]], axis=0) + \
-                        jnp.where(y == h - 1, b, jnp.zeros((), dd.dtype))
-                    out = d00 + sbx(d01) + sby_b
+                    out = interp.fold_corners_rows(d * (1 + 1e-6 * i), h, w,
+                                                   y0=0, halo_row=None)
                     acc = acc + out[0, 0].astype(jnp.float32)
                 return acc
             return jax.lax.fori_loop(0, K, body, 0.0)

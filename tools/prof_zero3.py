@@ -156,58 +156,62 @@ def main():
         out = d00 + sbx(d01) + sby_b
         return jnp.where(y < Hh, out, jnp.zeros((), zdt))
 
-    def make_seam_r3(true_shape, rest):
+    def make_seam_r3(true_shape):
+        """rest is a traced ARGUMENT (not a closure constant — 270 MB of
+        closed-over packed rows overflow the remote compiler's request
+        limit, HTTP 413). Its zero cotangent is DCE'd by XLA."""
         C, Hh, Ww = true_shape
         R = Hh * Ww
         hloc = pad_h(Hh) // n_shards
         B = hloc * Ww
 
         @jax.custom_vjp
-        def f(x):  # x [C, hloc, W] local chw shard
+        def f(x, rest):  # x [C, hloc, W] local chw shard
             pk_local = interp.pack_corners(x.astype(cdt))   # [B, 4C] (1/8 lane concat)
             return jnp.concatenate([pk_local, rest], axis=0)[:R]
 
-        def fwd(x):
-            return f(x), None
+        def fwd(x, rest):
+            return f(x, rest), None
 
         def bwd(_, d):
             blk = d[:B]                                     # RS local bound
             da = fold_block_cost(blk, C, min(Hh, hloc), Ww)  # block fold
-            return (jnp.transpose(da.reshape(hloc, Ww, C), (2, 0, 1))
-                    .astype(jnp.float32),)
+            dx = jnp.transpose(da.reshape(hloc, Ww, C), (2, 0, 1)).astype(
+                jnp.float32)
+            return dx, jnp.zeros((R - B, 4 * C), cdt)
 
         f.defvjp(fwd, bwd)
         return f
 
-    seams_r3 = {name: [make_seam_r3(true_shapes[name][lvl],
-                                    rest_packed[name][lvl])
+    seams_r3 = {name: [make_seam_r3(true_shapes[name][lvl])
                        for lvl in range(2)] for name in ("xy", "xz", "yz")}
 
-    def packed_r3(p):
-        return {name: [interp.PackedPlane(seams_r3[name][lvl](loc),
-                                          true_shapes[name][lvl])
-                       for lvl, loc in enumerate(p["planes"][name])]
-                for name in ("xy", "xz", "yz")}
+    def packed_r3(p, rest):
+        return {name: [interp.PackedPlane(
+            seams_r3[name][lvl](loc, rest[name][lvl]),
+            true_shapes[name][lvl])
+            for lvl, loc in enumerate(p["planes"][name])]
+            for name in ("xy", "xz", "yz")}
 
     @jax.jit
-    def f1(p, db, kf_poses, key):
+    def f1(p, rest, db, kf_poses, key):
         def body(i, acc):
-            return acc + render_loss(packed_r3(p), p["decoder"], db, kf_poses,
-                                     jax.random.fold_in(key, i))
+            return acc + render_loss(packed_r3(p, rest), p["decoder"], db,
+                                     kf_poses, jax.random.fold_in(key, i))
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     results["f1_fwd_sharded_pack"] = timed(
-        "F1 fwd: sharded pack + packed-AG standin", f1, p_chw, st.db,
-        st.kf_poses, jax.random.PRNGKey(0))
+        "F1 fwd: sharded pack + packed-AG standin", f1, p_chw, rest_packed,
+        st.db, st.kf_poses, jax.random.PRNGKey(0))
 
     @jax.jit
-    def z1(p, s, db, kf_poses, key):
+    def z1(p, s, rest, db, kf_poses, key):
         def body(i, c):
             p, s = c
             kk = jax.random.fold_in(key, i)
             _, g = jax.value_and_grad(
-                lambda pp: render_loss(packed_r3(pp), pp["decoder"], db,
-                                       kf_poses, kk))(p)
+                lambda pp: render_loss(packed_r3(pp, rest), pp["decoder"],
+                                       db, kf_poses, kk))(p)
             u, s = opt.update(g, s, p)
             return optax.apply_updates(p, u), s
         p, s = jax.lax.fori_loop(0, K, body, (p, s))
@@ -215,7 +219,8 @@ def main():
 
     results["z1_full_r3pack_blockfold"] = timed(
         "Z1 full step: sharded pack + packed-RS + block fold", z1, p_chw,
-        opt.init(p_chw), st.db, st.kf_poses, jax.random.PRNGKey(0))
+        opt.init(p_chw), rest_packed, st.db, st.kf_poses,
+        jax.random.PRNGKey(0))
 
     # ---------------- F3: raw-AG + hwc pack (no masks) -----------------
     def pack_hwc_from_flat(flat, Hh, Ww):
