@@ -187,7 +187,7 @@ class Mapper:
     def _seam_fn(self, true_shape):
         """Cached per-plane-shape collective seam
         (`parallel/mesh.make_row_sharded_pack`, shard_map-internal):
-        all-gather RAW rows + local pack forward; reduce-scatter +
+        local pack + all-gather of PACKED blocks forward; reduce-scatter +
         row-local fold backward (`mapping.shard_fold`: "after" = packed
         reduce-scatter then block fold, "before" = full local fold then
         4x-smaller raw reduce-scatter — numerically identical, different
@@ -322,8 +322,11 @@ class Mapper:
         replicated the backward scatter values; see
         parallel/mesh.make_row_sharded_pack). Per device and iteration:
 
-          fwd:  all-gather RAW plane rows (4x fewer bytes than packed) ->
-                local pack -> render the LOCAL ray shard (psum-aware losses)
+          fwd:  pack the LOCAL row block (1-y-row halo exchange) ->
+                all-gather the PACKED blocks -> render the LOCAL ray shard
+                (psum-aware losses). Packing before the gather costs 4x
+                the ICI payload but saves ~4.7 ms/iter of full-size pack
+                per device (tools/prof_zero5.py, round 4).
           bwd:  local scatter of the ray shard's corner cotangents ->
                 reduce-scatter (packed, fold=after; raw, fold=before) ->
                 row-local fold -> row-local Adam.

@@ -102,8 +102,8 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
                           param_dtype=jnp.float32,
                           fold: str = "after"):
     """The row-sharded mapper's collective seam (shard_map-internal,
-    round 4): all-gather the RAW plane rows, pack locally, reduce-scatter
-    the cotangent.
+    round 4): pack the LOCAL rows (one-y-row halo), all-gather the PACKED
+    blocks, reduce-scatter the cotangent.
 
     Called INSIDE a shard_map over `axis_names` (sizes `axis_sizes`). Input:
     the device-local block [pad_h*W/N, C] of a plane in flat row-major
@@ -116,18 +116,22 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
     separately (4x the raw bytes) AND all-gathers the backward's 92k
     scatter values per fine plane (~460-690 MB/iter total, measured from
     the compiled CPU-mesh HLO, round 4). Writing the seam as
-    lax.all_gather/psum_scatter pins the program to the designed payloads:
-    raw rows forward (~4x fewer bytes than the round-3 packed-table
-    gather), one reduction backward.
+    lax.all_gather/psum_scatter pins the program to the designed payloads.
 
-    Why the asymmetry (round-3/4 measurements, BASELINE.md): forward packs
-    AFTER the gather (the pack is cheap dense shifts; gathering packed
-    rows costs 4x the ICI). Backward offers two exact orderings of the
-    linear fold (`fold=`):
+    Why pack BEFORE the gather (round-4 correction, tools/prof_zero5.py):
+    the earlier gather-raw-then-pack-full forward was chosen for its 4x
+    smaller ICI payload, but its per-device program measures 8.77 ms/iter
+    vs 3.78 for pack-local-then-concat at reference shapes — the full-size
+    pack's lane concat of computed shifted pieces costs ~4.7 ms/iter,
+    dwarfing the ~1-3 ms/iter of extra all-gather payload it saves
+    (packed blocks are 4x raw bytes; ~1.1 ms extra at bf16 on the
+    ~100 GB/s v5e ICI estimate). The local pack needs the NEXT block's
+    first y-row (the pack's y-shift moves exactly one y-row), exchanged
+    with one small all-gather of first rows.
+
+    Backward offers two exact orderings of the linear fold (`fold=`):
       * "after": reduce-scatter the PACKED cotangent [H*W, 4C], then fold
-        the local rows/N block (needs a 1-y-row halo from the previous
-        block — the x-shift is y-row-internal, the y-shift moves exactly
-        one y-row, so an all-gather of each block's last y-row suffices).
+        the local rows/N block (1-y-row halo from the previous block).
         Minimal per-device compute; 4x the reduction payload.
       * "before": fold the full packed cotangent locally (fold is linear,
         so fold-then-reduce == reduce-then-fold exactly), then
@@ -144,6 +148,7 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
     n_dev = int(np.prod(sizes))
     assert Rp % n_dev == 0 and (Rp // n_dev) % W == 0, (Rp, n_dev, W)
     B = Rp // n_dev                      # local block: whole y-rows
+    hb = B // W                          # local block: y-row count
 
     def _dev_index():
         d = jnp.zeros((), jnp.int32)
@@ -163,15 +168,33 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
         prev = jax.lax.dynamic_slice_in_dim(
             tails, jnp.maximum(dev - 1, 0) * W, W, axis=0)
         prev = jnp.where(dev > 0, prev, jnp.zeros((), blk.dtype))
-        hb = B // W
         return interp.fold_corners_rows(blk, H, W, y0=dev * hb,
                                         halo_row=prev)
 
+    def _pack_local(x):
+        """pack_corners_hwc restricted to the local y-row block: identical
+        values to rows [dev*B, dev*B+B) of the full pack for every global
+        y < H (rows y >= H are pad, sliced off after the gather). The
+        y-shift needs one halo row — the NEXT block's first y-row — and a
+        y == H-1 border clamp (the full pack clamps at the TABLE's last
+        valid row, which is block-internal only by luck)."""
+        dev = _dev_index()
+        xb = x.astype(compute_dtype).reshape(hb, W, C)
+        firsts = jax.lax.all_gather(xb[0], names, axis=0, tiled=True)
+        nxt = jax.lax.dynamic_slice_in_dim(
+            firsts, jnp.minimum(dev + 1, n_dev - 1) * W, W, axis=0)
+        ext = jnp.concatenate([xb, nxt.reshape(1, W, C)], axis=0)
+        sx = jnp.concatenate([ext[:, 1:], ext[:, -1:]], axis=1)
+        yy = dev * hb + jax.lax.broadcasted_iota(jnp.int32, (hb, 1, 1), 0)
+        sy = jnp.where(yy == H - 1, xb, ext[1:])
+        sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
+        packed = jnp.concatenate([xb, sx[:hb], sy, sxy], axis=-1)
+        return packed.reshape(B, 4 * C)
+
     @jax.custom_vjp
     def f(x):
-        xg = jax.lax.all_gather(x.astype(compute_dtype), names, axis=0,
-                                tiled=True)
-        return interp.pack_corners_hwc(xg[:R].reshape(H, W, xg.shape[-1]))
+        pk = jax.lax.all_gather(_pack_local(x), names, axis=0, tiled=True)
+        return pk[:R]
 
     def fwd(x):
         return f(x), None

@@ -3,16 +3,20 @@ seam backward): the two harnesses measure the same per-device row-sharded
 program but differ in seam structure. One structural change at a time:
 
   V0  prof_zero structure: pack LOCAL raw shard per iter, concat with a
-      PACKED-const rest table, plain AD (bwd = slice + pack transpose
-      at rows/8).                                   [expect ~3.8]
+      PACKED rest table, plain AD (bwd = slice + pack transpose at
+      rows/8).                                      [expect ~3.8]
   V1  V0 wrapped in a custom_vjp whose bwd does the same slice +
       fold_corners_rows at rows/8 — isolates custom-VJP cotangent
       materialization.
-  V2  full pack per iter: concat RAW local + RAW-const rest, pack at FULL
-      size inside a custom_vjp (bwd = slice + block fold) — the
-      prof_zero4 variant-C structure.               [expect ~8.8 if the
-      full pack in backward-enabled context is the cost]
-  V3  V2 with bwd = zeros (prof_zero4 variant A).   [expect ~8.5]
+  V2  full pack per iter: concat RAW local + RAW rest, pack at FULL size
+      inside a custom_vjp (bwd = slice + block fold) — the prof_zero4
+      variant-C structure, i.e. the production seam's per-device program.
+  V3  V2 with bwd = zeros (prof_zero4 variant A).
+
+NOTE (round 4): prof_zero4 CLOSED OVER its rest tables; with all variants
+in one process the constants exceeded the remote compiler's request-body
+limit (HTTP 413), and embedded-constant handling is itself a suspect for
+prof_zero4's anomalous numbers. Here every rest table is a jit ARGUMENT.
 
 Also: scatter scaling for the routed-gradient-exchange design —
 zeros+scatter of the per-device point count into full tables vs 1/8-row
@@ -51,6 +55,66 @@ def timed(name, fn, *args):
     per = float(np.median(walls)) / K * 1e3
     print(f"{name:56s} {per:8.2f} ms/iter", flush=True)
     return per
+
+
+def make_seam(variant, ts, hloc, cdt):
+    """Per-plane 'collective seam': (local [C, hloc, W], rest) -> full
+    packed table, per the structural variant under test. rest is a traced
+    argument (packed rows for V0/V1, raw rows for V2/V3)."""
+    from mneslam_tpu.ops import interp
+
+    C, Hh, Ww = ts
+    B = hloc * Ww
+
+    if variant == "V0":
+        def seam(loc, rest):
+            return jnp.concatenate(
+                [interp.pack_corners(loc.astype(cdt)), rest], axis=0)
+        return seam
+
+    if variant == "V1":
+        @jax.custom_vjp
+        def f(loc, rest):
+            return jnp.concatenate(
+                [interp.pack_corners(loc.astype(cdt)), rest], axis=0)
+
+        def fwd(loc, rest):
+            return f(loc, rest), None
+
+        def bwd(_, d):
+            blk = d[:B]
+            out = interp.fold_corners_rows(blk, Hh, Ww, y0=0, halo_row=None)
+            return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
+                    .astype(jnp.float32),
+                    jnp.zeros((Hh * Ww - B, 4 * C), cdt))
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    # V2 / V3: raw concat + full pack inside custom_vjp
+    @jax.custom_vjp
+    def f(loc, rest):
+        raw = jnp.transpose(loc.astype(cdt), (1, 2, 0)).reshape(B, C)
+        xg = jnp.concatenate([raw, rest], axis=0)
+        return interp.pack_corners_hwc(xg.reshape(Hh, Ww, C))
+
+    def fwd(loc, rest):
+        return f(loc, rest), None
+
+    if variant == "V3":
+        def bwd(_, d):
+            out = jnp.zeros((C, hloc, Ww), jnp.float32) + d[0, 0]
+            return out, jnp.zeros((Hh * Ww - B, C), cdt)
+    else:
+        def bwd(_, d):
+            blk = d[:B]
+            out = interp.fold_corners_rows(blk, Hh, Ww, y0=0, halo_row=None)
+            return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
+                    .astype(jnp.float32),
+                    jnp.zeros((Hh * Ww - B, C), cdt))
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def main():
@@ -97,18 +161,17 @@ def main():
           f"rays={n_global}+{n_cur}  dtype={jnp.dtype(cdt).name}", flush=True)
     results = {"n_shards": n_shards, "bf16": bf16}
 
-    # local shard (leading H/n rows as [C, hloc, W]) + both rest forms
+    # local shard (leading ~H/n rows as [C, hloc, W]) + both rest forms.
+    # floor split (prof_zero convention): the local block is slightly
+    # under 1/n — the timing target is the local work's scale.
     p_local = {"planes": {}, "decoder": st.params["decoder"]}
-    rest_packed, rest_raw, true_shapes = {}, {}, {}
+    rest_packed, rest_raw, true_shapes, hlocs = {}, {}, {}, {}
     for name in ("xy", "xz", "yz"):
         p_local["planes"][name] = []
         rest_packed[name], rest_raw[name] = [], []
-        true_shapes[name] = []
+        true_shapes[name], hlocs[name] = [], []
         for pl in st.params["planes"][name]:
             C, Hh, Ww = pl.shape
-            # floor split (prof_zero convention): the local block is
-            # slightly under 1/n, the const rest slightly over — the
-            # timing target is the local work's scale, not exactness
             hloc = Hh // n_shards
             p_local["planes"][name].append(pl[:, :hloc])
             rest_packed[name].append(
@@ -116,77 +179,22 @@ def main():
             rest_raw[name].append(jnp.transpose(pl, (1, 2, 0))
                                   .reshape(Hh * Ww, C)[hloc * Ww:].astype(cdt))
             true_shapes[name].append((C, Hh, Ww))
+            hlocs[name].append(hloc)
     p_local = jax.tree.map(jnp.asarray, p_local)
     rest_packed = jax.tree.map(jnp.asarray, rest_packed)
     rest_raw = jax.tree.map(jnp.asarray, rest_raw)
 
-    def make_seam(variant, ts, rp, rr):
-        """Per-plane 'collective seam': local [C, hloc, W] -> full packed
-        table, per the structural variant under test."""
-        C, Hh, Ww = ts
-        hloc = Hh // n_shards
-        B = hloc * Ww
-
-        if variant == "V0":
-            def seam(loc):
-                return jnp.concatenate(
-                    [interp.pack_corners(loc.astype(cdt)), rp], axis=0)
-            return seam
-
-        if variant == "V1":
-            @jax.custom_vjp
-            def f(loc):
-                return jnp.concatenate(
-                    [interp.pack_corners(loc.astype(cdt)), rp], axis=0)
-
-            def fwd(loc):
-                return f(loc), None
-
-            def bwd(_, d):
-                blk = d[:B]
-                out = interp.fold_corners_rows(blk, Hh, Ww, y0=0,
-                                               halo_row=None)
-                return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
-                        .astype(jnp.float32),)
-
-            f.defvjp(fwd, bwd)
-            return f
-
-        # V2 / V3: raw concat + full pack inside custom_vjp
-        @jax.custom_vjp
-        def f(loc):
-            raw = jnp.transpose(loc.astype(cdt), (1, 2, 0)).reshape(B, C)
-            xg = jnp.concatenate([raw, rr], axis=0)
-            return interp.pack_corners_hwc(xg.reshape(Hh, Ww, C))
-
-        def fwd(loc):
-            return f(loc), None
-
-        if variant == "V3":
-            def bwd(_, d):
-                out = jnp.zeros((C, hloc, Ww), jnp.float32) + d[0, 0]
-                return (out,)
-        else:
-            def bwd(_, d):
-                blk = d[:B]
-                out = interp.fold_corners_rows(blk, Hh, Ww, y0=0,
-                                               halo_row=None)
-                return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
-                        .astype(jnp.float32),)
-
-        f.defvjp(fwd, bwd)
-        return f
-
     def run_variant(tag):
+        rest_tree = rest_packed if tag in ("V0", "V1") else rest_raw
         seams = {name: [make_seam(tag, true_shapes[name][lvl],
-                                  rest_packed[name][lvl],
-                                  rest_raw[name][lvl])
+                                  hlocs[name][lvl], cdt)
                         for lvl in range(2)] for name in ("xy", "xz", "yz")}
 
-        def loss_local(p, db, kf_poses, key):
+        def loss_local(p, rest, db, kf_poses, key):
             planes_packed = {
-                name: [interp.PackedPlane(seams[name][lvl](loc),
-                                          true_shapes[name][lvl])
+                name: [interp.PackedPlane(
+                    seams[name][lvl](loc, rest[name][lvl]),
+                    true_shapes[name][lvl])
                        for lvl, loc in enumerate(p["planes"][name])]
                 for name in ("xy", "xz", "yz")}
             params = {"planes": planes_packed, "decoder": p["decoder"]}
@@ -205,18 +213,19 @@ def main():
             return scene.get_loss_from_ret(ret)
 
         @jax.jit
-        def full(p, s, db, kf_poses, key):
+        def full(p, s, rest, db, kf_poses, key):
             def body(i, c):
                 p, s = c
                 kk = jax.random.fold_in(key, i)
-                _, g = jax.value_and_grad(loss_local)(p, db, kf_poses, kk)
+                _, g = jax.value_and_grad(loss_local)(p, rest, db, kf_poses,
+                                                      kk)
                 u, s = opt.update(g, s, p)
                 return optax.apply_updates(p, u), s
             p, s = jax.lax.fori_loop(0, K, body, (p, s))
             return p["planes"]["xy"][1][0, 0, 0]
 
         return timed(f"full step, seam {tag}", full, p_local,
-                     opt.init(p_local), st.db, st.kf_poses,
+                     opt.init(p_local), rest_tree, st.db, st.kf_poses,
                      jax.random.PRNGKey(0))
 
     for tag in ("V0", "V1", "V2", "V3"):
