@@ -151,6 +151,7 @@ class MNESLAM:
         self.first_frame_mapped = False
         self.global_ba_every = int(config["mapping"].get("global_ba_every", 10))
         self.metrics_log: list[Dict] = []
+        self._metrics_flushed = 0  # log entries converted to host floats
         self.collab = None  # set by MultiAgentRunner / AgentCollaboration
 
         # slam_step cursor state (multi-agent interleaving advances agents
@@ -244,8 +245,17 @@ class MNESLAM:
         mp_slam/mapper.py:224-229). Used by both the sequential path and
         the mesh fleet's sharded super-step."""
         self.mapped_timestamps.append(float(frame_idx))
-        self.metrics_log.append({k: float(v) for k, v in metrics.items()})
-        self.timers.log_scalars(frame_idx, self.metrics_log[-1])
+        # Pipelined metric readback (VERDICT r3 next #3): the new entry
+        # keeps its DEVICE scalars; the host float conversion + the
+        # metrics.jsonl write happen one keyframe LATE, while this
+        # keyframe's optimize super-step is still in flight on device —
+        # the ~30 ms remote fetch RTT then overlaps device compute instead
+        # of serializing the per-keyframe mapping dispatch chain.
+        # Consumers reading metrics_log entries coerce on access (float()/
+        # format of a 0-d jax array fetches); terminate()/run end flush
+        # everything to plain floats.
+        self.metrics_log.append(dict(metrics))
+        self._flush_metrics(upto=len(self.metrics_log) - 1)
 
         vis_every = int(self.config["mapping"].get("vis", 0))
         if vis_every > 0 and (len(self.mapped_timestamps) - 1) % vis_every == 0:
@@ -276,6 +286,21 @@ class MNESLAM:
                 frame_idx, self.dataset[frame_idx]["rgb"],
                 np.asarray(pose_c2w), kf_poses, kf_ts,
             )
+
+    def _flush_metrics(self, upto: Optional[int] = None):
+        """Convert queued metrics_log entries (0-d device arrays) to host
+        floats and write them to metrics.jsonl. `upto` = flush entries with
+        index < upto (default: all). The pipelined readback in
+        _post_map_bookkeeping flushes up to len-1, leaving the newest
+        entry's scalars on device so their ~30 ms remote fetch overlaps the
+        NEXT keyframe's optimize dispatch instead of serializing it."""
+        end = len(self.metrics_log) if upto is None else upto
+        while self._metrics_flushed < end:
+            i = self._metrics_flushed
+            entry = {k: float(v) for k, v in self.metrics_log[i].items()}
+            self.metrics_log[i] = entry
+            self.timers.log_scalars(int(self.mapped_timestamps[i]), entry)
+            self._metrics_flushed = i + 1
 
     def _save_vis(self, frame_idx: int, pose_c2w: jax.Array):
         """Per-keyframe render/residual panel (mneslam_mp.py:472-560)."""
@@ -310,6 +335,7 @@ class MNESLAM:
                 m = self.metrics_log[-1]
                 print(f"[agent {self.rank}] map kf {idx}: "
                       f"psnr={m['psnr']:.1f} loss={m['loss']:.4f}")
+        self._flush_metrics()
         elapsed = time.time() - t0
         print(f"[agent {self.rank}] mapping-only done: "
               f"{len(self.mapped_timestamps)} kfs in {elapsed:.1f}s")
@@ -436,6 +462,7 @@ class MNESLAM:
 
     def terminate(self):
         """Final mesh + trajectory fill + ATE eval (mneslam_mp.py:632-737)."""
+        self._flush_metrics()  # drain the pipelined metric readback queue
         results = {}
         # final mesh + keyframe-frustum-culled variant (the reference's
         # Mesher.get_mesh culled output, model/Mesher.py:92-157,217-297)
