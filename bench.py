@@ -266,15 +266,43 @@ def main():
         # NOTE: warm/timed pairs run on the SAME input state — a chained
         # second call would re-propose on updated poses, change the edge
         # count, and recompile the padded-shape programs (a 15 s "timing").
-        _ = backend._propose_edges(st_s, 0, bs, 0, backend.radius,
-                                   backend.nms, backend.thresh,
-                                   max_factors=16 * bs, loop=False)  # warm
+        # TWO warm calls: the first fills the incremental frame-distance
+        # cache (tracking/dist_cache.py) cold, the second compiles its
+        # dirty-flags reduction; the timed call is then the steady state
+        # (clean cache — the BA-converged best case).
+        for _ in range(2):
+            _ = backend._propose_edges(st_s, 0, bs, 0, backend.radius,
+                                       backend.nms, backend.thresh,
+                                       max_factors=16 * bs, loop=False)
         t0 = time.perf_counter()
         es = backend._propose_edges(st_s, 0, bs, 0, backend.radius,
                                     backend.nms, backend.thresh,
                                     max_factors=16 * bs, loop=False)
         scannet["proposal_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         scannet["edges_proposed"] = int(len(es))
+
+        # deployment-representative case: a global BA moved the newest 32
+        # keyframes beyond tolerance -> the cache recomputes only their
+        # rows/cols. Two perturbations of identical size: the first pays
+        # the padded-shape compile of the partial recompute, the second is
+        # the timed steady state.
+        poses_d = np.array(st_s.poses)
+        for round_i in (1, 2):
+            poses_d[bs - 32:, :3] += 1e-3 * round_i
+            st_d = st_s._replace(poses=jnp.asarray(poses_d))
+            if round_i == 1:
+                backend._propose_edges(st_d, 0, bs, 0, backend.radius,
+                                       backend.nms, backend.thresh,
+                                       max_factors=16 * bs, loop=False)
+            else:
+                t0 = time.perf_counter()
+                backend._propose_edges(st_d, 0, bs, 0, backend.radius,
+                                       backend.nms, backend.thresh,
+                                       max_factors=16 * bs, loop=False)
+                scannet["proposal_ms_32dirty"] = round(
+                    (time.perf_counter() - t0) * 1e3, 1)
+                scannet["proposal_recomputed_pairs"] = int(
+                    backend.dist_cache.recomputed_pairs)
 
         st_w, _, n_edges = backend.dense_ba(st_s, bs, steps=1)  # warm/compile
         np.asarray(st_w.poses[0])
