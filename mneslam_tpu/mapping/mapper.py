@@ -208,9 +208,15 @@ class Mapper:
             self._seam_cache[true_shape] = fn
         return fn
 
-    def _packed_params(self, params):
+    def _packed_params(self, params, tables=None):
         """Swap the flat row-sharded plane leaves for replicated
-        `PackedPlane` tables through the collective seam."""
+        `PackedPlane` tables through the collective seam.
+
+        With `tables` (the prefetch buffer from `_gather_plane_tables`),
+        each table enters through the seam's `consume` half instead: the
+        forward uses the CARRIED (one-iteration-old) table and the VJP
+        reroutes its cotangent to the local rows — `mapping.shard_prefetch`
+        semantics (see `_optimize_row_sharded`)."""
         from ..ops import interp
 
         out = dict(params)
@@ -223,9 +229,28 @@ class Mapper:
                 packed[name] = []
                 for lvl, leaf in enumerate(params[which][name]):
                     ts = tuple(int(s) for s in shapes[lvl][name])
-                    packed[name].append(
-                        interp.PackedPlane(self._seam_fn(ts)(leaf), ts))
+                    fn = self._seam_fn(ts)
+                    tbl = (fn(leaf) if tables is None
+                           else fn.consume(leaf, tables[which][name][lvl]))
+                    packed[name].append(interp.PackedPlane(tbl, ts))
             out[which] = packed
+        return out
+
+    def _gather_plane_tables(self, params):
+        """Forward-only pack + all-gather of every plane leaf — the
+        prefetch buffer (`f.gather`): issued at the top of a loop
+        iteration for the table the NEXT iteration's forward consumes, so
+        the all-gather runs under a full iteration of compute."""
+        out = {}
+        for which in ("planes", "c_planes"):
+            if which not in params:
+                continue
+            shapes = self._plane_shapes_of(which)
+            out[which] = {
+                name: [self._seam_fn(tuple(int(s)
+                                           for s in shapes[lvl][name])).gather(leaf)
+                       for lvl, leaf in enumerate(params[which][name])]
+                for name in ("xy", "xz", "yz")}
         return out
 
     # ------------------------------------------------------------------
@@ -357,13 +382,16 @@ class Mapper:
                               and hasattr(l, "ndim") and l.ndim == 2 else P()),
                 tree)
 
+        prefetch = int(self.config["mapping"].get("shard_prefetch", 0))
+
         def body(params, opt_state, db, kf_poses, dirf, rgbf, df, pose, key):
             dev = jnp.zeros((), jnp.int32)
             for name, size in zip(axes, sizes):
                 dev = dev * size + jax.lax.axis_index(name)
 
-            def loss_fn(p, ro, rd, trgb, td, k_render, offset, n_total):
-                packed = self._packed_params(p)
+            def loss_fn(p, tables, ro, rd, trgb, td, k_render, offset,
+                        n_total):
+                packed = self._packed_params(p, tables)
                 ret = self.scene.forward(packed, ro, rd, trgb, td,
                                          key=k_render, axis_name=axes,
                                          rng_block=(n_total, offset))
@@ -384,8 +412,9 @@ class Mapper:
                     ret, smooth_loss=smooth) / n_dev
                 return loss_g, ret
 
-            def step(i, carry):
-                params, opt_state, _ = carry
+            def grads_and_metrics(i, params, tables):
+                """One iteration's loss/grad at the (possibly stale)
+                prefetched tables; plane grads row-local, rest psum'd."""
                 k = jax.random.fold_in(key, i)
                 # identical full-batch sampling on every device (same key),
                 # then each device takes its contiguous ray block
@@ -397,26 +426,93 @@ class Mapper:
                     a, dev * shard, shard, axis=0)
                 (loss_g, ret), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                    params, sl(rays_o), sl(rays_d), sl(t_rgb), sl(t_d),
-                    k_render, dev * shard, n_total)
+                    params, tables, sl(rays_o), sl(rays_d), sl(t_rgb),
+                    sl(t_d), k_render, dev * shard, n_total)
                 # plane grads come out of the seam already row-local;
                 # everything else (decoder) is a per-device partial -> psum
                 grads = jax.tree_util.tree_map_with_path(
                     lambda p, g: g if self._plane_leaf_addr(p) is not None
                     else jax.lax.psum(g, axes), grads)
-                updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                           params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, {"loss": loss_g * n_dev,
-                                           "psnr": ret["psnr"],
-                                           "rgb_loss": ret["rgb_loss"],
-                                           "depth_loss": ret["depth_loss"]}
+                return grads, {"loss": loss_g * n_dev, "psnr": ret["psnr"],
+                               "rgb_loss": ret["rgb_loss"],
+                               "depth_loss": ret["depth_loss"]}
 
             zero_metrics = {"loss": jnp.zeros(()), "psnr": jnp.zeros(()),
                             "rgb_loss": jnp.zeros(()),
                             "depth_loss": jnp.zeros(())}
-            return jax.lax.fori_loop(0, iters, step,
-                                     (params, opt_state, zero_metrics))
+
+            # `mapping.shard_prefetch` (VERDICT r3 next #1(b), measured
+            # round 4 — tools/prof_zero6.py, tools/prof_prefetch_quality.py):
+            #
+            #   prefetch == 0 (DEFAULT, exact): the synchronous seam —
+            #     pack + all-gather inline in the forward, reduce-scatter +
+            #     fold in the backward. Measured FASTEST per-device program
+            #     (3.93 ms/iter fp32 / 3.98 bf16 at 8 shards, K=40): every
+            #     hoisted/double-buffered restructure costs more per-device
+            #     compute (+0.6-1.1 ms/iter) than the ≤1.35 ms of ICI it
+            #     could hide, because carrying the packed tables through
+            #     the fori_loop defeats XLA's gather/consumer fusion.
+            #   prefetch == 1 (stale-by-one tables): the packed tables live
+            #     in the fori_loop CARRY; the body gathers BEFORE its Adam
+            #     update so the all-gather's overlap window is the whole
+            #     iteration, at the cost of rendering against one-step-old
+            #     plane features (delayed-gradient descent). Quality nearly
+            #     neutral on the synthetic eval (45.8 -> 44.6 dB PSNR,
+            #     equal depth L1).
+            #   prefetch == 2: additionally applies grads one iteration
+            #     late, taking the reduce-scatter off the critical path
+            #     too. Quality COLLAPSES (24 dB / 22 cm depth L1) — kept
+            #     only as a documented rejected experiment.
+            # Both stale modes also measured SLOWER per-device than the
+            # sync seam on one chip; they could only win if real multi-chip
+            # ICI latency exceeds the ~1.1 ms/iter structure tax, which the
+            # payload math says it does not (BASELINE.md round 4).
+            if prefetch == 0:
+                def step(i, carry):
+                    params, opt_state, _ = carry
+                    grads, metrics = grads_and_metrics(i, params, None)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state, metrics
+
+                return jax.lax.fori_loop(0, iters, step,
+                                         (params, opt_state, zero_metrics))
+
+            def step(i, carry):
+                params, opt_state, tables, pgrads, _ = carry
+                tables_next = self._gather_plane_tables(params)
+                grads, metrics = grads_and_metrics(i, params, tables)
+                if prefetch >= 2:
+                    apply_grads, pgrads = pgrads, grads
+                else:
+                    apply_grads = grads
+                updates, opt_new = self.optimizer.update(
+                    apply_grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                if prefetch >= 2:
+                    # iteration 0 has no delayed grads yet — skip its
+                    # optimizer step (cheap scalar select) so the run
+                    # performs exactly `iters` real Adam updates
+                    keep = i > 0
+                    sel = lambda a, b: jnp.where(keep, a, b)
+                    params = jax.tree.map(sel, new_params, params)
+                    opt_state = jax.tree.map(sel, opt_new, opt_state)
+                else:
+                    params, opt_state = new_params, opt_new
+                return params, opt_state, tables_next, pgrads, metrics
+
+            tables0 = self._gather_plane_tables(params)
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            params, opt_state, _, pgrads, metrics = jax.lax.fori_loop(
+                0, iters, step,
+                (params, opt_state, tables0, zero_grads, zero_metrics))
+            if prefetch >= 2:
+                # trailing apply of the last iteration's (delayed) grads
+                updates, opt_state = self.optimizer.update(
+                    pgrads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
 
         smap = jax.shard_map(
             body, mesh=self.mesh,

@@ -138,7 +138,24 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
         reduce-scatter the RAW [pad_h*W, C] cotangent. 4x less ICI; pays
         a full-size (flat, transpose-free) fold per device.
     Neither ordering is the forward's linear transpose applied naively,
-    hence the custom VJP."""
+    hence the custom VJP.
+
+    The returned `f` also carries the two halves of the PIPELINED seam
+    (`mapping.shard_prefetch`, round 4 — VERDICT r3 next #1(b)):
+      * `f.gather(x)` — the forward alone (local pack + packed-block
+        all-gather), differentiation-free. Issued at the TOP of loop
+        iteration i for the table consumed at iteration i+1, it has no
+        data dependence on iteration i's render/backward, so the
+        latency-hiding scheduler can run the all-gather under a full
+        iteration of compute (double-buffering across `fori_loop`
+        iterations).
+      * `f.consume(x_local, table)` — identity on `table` in the forward;
+        its VJP routes the table cotangent through the SAME
+        reduce-scatter + row-local fold as `f`'s backward to `x_local`
+        (zero cotangent to `table`: the carried stale table is a buffer,
+        not a parameter). `consume(x, f.gather(x))` == `f(x)` exactly;
+        with a one-iteration-old table the gradient is the standard
+        delayed/stale gradient of pipelined data-parallel training."""
     from ..ops import interp
 
     C, H, W = (int(s) for s in true_shape)
@@ -191,15 +208,11 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
         packed = jnp.concatenate([xb, sx[:hb], sy, sxy], axis=-1)
         return packed.reshape(B, 4 * C)
 
-    @jax.custom_vjp
-    def f(x):
+    def _gather(x):
         pk = jax.lax.all_gather(_pack_local(x), names, axis=0, tiled=True)
         return pk[:R]
 
-    def fwd(x):
-        return f(x), None
-
-    def bwd(_, d_packed):
+    def _fold_cotangent(d_packed):
         d = d_packed
         if Rp > R:
             d = jnp.pad(d, ((0, Rp - R), (0, 0)))
@@ -211,9 +224,36 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
             blk = jax.lax.psum_scatter(d, names, scatter_dimension=0,
                                        tiled=True)               # [B, 4C]
             out = _fold_block(blk)
-        return (out.astype(param_dtype),)
+        return out.astype(param_dtype)
+
+    @jax.custom_vjp
+    def f(x):
+        return _gather(x)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, d_packed):
+        return (_fold_cotangent(d_packed),)
 
     f.defvjp(fwd, bwd)
+
+    # pipelined-seam halves (see docstring): forward-only gather + a
+    # consume whose VJP reroutes the table cotangent to the local rows
+    @jax.custom_vjp
+    def consume(x, table):
+        return table
+
+    def c_fwd(x, table):
+        return table, None
+
+    def c_bwd(_, d_packed):
+        return (_fold_cotangent(d_packed),
+                jnp.zeros((R, 4 * C), d_packed.dtype))
+
+    consume.defvjp(c_fwd, c_bwd)
+    f.gather = lambda x: _gather(jax.lax.stop_gradient(x))
+    f.consume = consume
     return f
 
 
