@@ -1,5 +1,8 @@
 """Device-mesh parallelism tests (8 virtual CPU devices)."""
 
+import os
+import sys
+
 import jax
 import pytest
 import jax.numpy as jnp
@@ -415,3 +418,22 @@ def test_ray_sharded_mapper_matches_unsharded_reference_shapes():
                                    iters=2)
         losses.append(float(met["loss"]))
     assert abs(losses[0] - losses[1]) / max(abs(losses[0]), 1e-9) < 5e-3, losses
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [16])
+def test_row_sharded_mapper_16_devices(n_dev):
+    """The v5e-16 projection (BASELINE.md r4) quotes shard counts beyond
+    the 8-device test mesh; prove the production seam (row padding to 16,
+    uneven 80/16 ray split, packed all-gather/reduce-scatter) actually
+    compiles and matches 1-device at that count. Subprocess because the
+    virtual device count is fixed at jax init."""
+    import subprocess
+
+    env = dict(os.environ, PYTHONPATH=".", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={n_dev}")
+    r = subprocess.run(
+        [sys.executable, "tests/_row_sharded_ndev.py", str(n_dev)],
+        capture_output=True, text=True, env=env, timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"{n_dev}-device == 1-device: OK" in r.stdout

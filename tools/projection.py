@@ -85,7 +85,11 @@ def main():
     args = ap.parse_args()
 
     measured = {}  # (shards, dtype) -> ms/iter
-    for path in glob.glob("/tmp/zero6_*.txt"):
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "measurements/zero6/*.txt")))
+    paths += sorted(glob.glob("/tmp/zero6_*.txt"))  # fresher runs win
+    for path in paths:
         try:
             line = open(path).read().strip().splitlines()[-1]
             d = json.loads(line)
