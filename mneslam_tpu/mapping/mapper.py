@@ -56,7 +56,7 @@ def make_optimizer(config) -> optax.GradientTransformation:
 
 class Mapper:
     def __init__(self, config, scene: SceneRep, num_kf: int, rays_per_kf: int,
-                 mesh=None, shard_plane_rows: bool = False):
+                 mesh=None, shard_plane_rows: bool = False, shard_axes=None):
         """`mesh`: optional jax.sharding.Mesh — when given, each
         optimization iteration's ray batch is sharded over every mesh
         device (both named axes) and the plane-gradient reduction rides the
@@ -78,7 +78,15 @@ class Mapper:
         `pack_corners` adjoint fold and Adam run on 1/N of the table per
         device — the table-sized backward terms that do NOT shrink with
         the ray shard (BASELINE.md round-3 ray-sharding measurement: they
-        dominate the per-device cost at rays/8)."""
+        dominate the per-device cost at rays/8).
+
+        `shard_axes` (row-sharded mode only): the SUBSET of mesh axes the
+        seam collectives and the ray/row shards run over — defaults to
+        every mesh axis (the single-agent multi-chip deployment). The
+        mesh fleet passes a 2D ('agent', 'ray') mesh with
+        shard_axes=('ray',): each agent occupies one 'ray' device group,
+        rows/rays shard within the group, and the 'agent' axis carries
+        data-parallel agents (parallel/fleet.py, round 4)."""
         self.config = config
         self.scene = scene
         self.num_kf = num_kf
@@ -86,11 +94,20 @@ class Mapper:
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
         self.shard_rows = bool(shard_plane_rows) and mesh is not None
+        self.shard_axes = (tuple(shard_axes) if shard_axes is not None
+                           else (tuple(mesh.axis_names)
+                                 if mesh is not None else ()))
+        if mesh is not None:
+            assert all(a in mesh.axis_names for a in self.shard_axes)
+        self._stack_axes = (tuple(a for a in mesh.axis_names
+                                  if a not in self.shard_axes)
+                            if mesh is not None else ())
         self._seam_cache = {}
         self.n_global = int(config["mapping"]["sample"])
         self.n_cur = int(config["mapping"]["min_pixels_cur"])
         if mesh is not None:
-            n_dev = int(np.prod(list(mesh.shape.values())))
+            n_dev = (self._n_dev if self.shard_rows
+                     else int(np.prod(list(mesh.shape.values()))))
             rup = lambda n: (n + n_dev - 1) // n_dev * n_dev
             self.n_global, self.n_cur = rup(self.n_global), rup(self.n_cur)
 
@@ -115,7 +132,9 @@ class Mapper:
 
     @property
     def _n_dev(self) -> int:
-        return int(np.prod(list(self.mesh.shape.values())))
+        """Device count of the shard group (the row/ray shard width —
+        excludes fleet 'agent' axes when shard_axes is a subset)."""
+        return int(np.prod([self.mesh.shape[a] for a in self.shard_axes]))
 
     def _pad_h(self, H: int) -> int:
         n = self._n_dev
@@ -156,7 +175,8 @@ class Mapper:
         checkpointing, fusion all see the ordinary layout)."""
         from ..parallel import mesh as mesh_lib
 
-        shard = mesh_lib.row_sharding(self.mesh, ndim=2, axis=0)
+        shard = mesh_lib.row_sharding(self.mesh, ndim=2, axis=0,
+                                      names=self.shard_axes)
 
         def f(path, leaf):
             addr = self._plane_leaf_addr(path)
@@ -184,6 +204,45 @@ class Mapper:
 
         return jax.tree_util.tree_map_with_path(f, tree)
 
+    def _shard_plane_state_stacked(self, tree):
+        """Fleet variant of `_shard_plane_state`: every plane leaf carries
+        a leading agent axis ([A, C, H, W] -> flat row-major [A, Hp*W, C];
+        agent axis pinned to the fleet's stack axes, rows to the shard
+        axes). Used by the composed agent x rows super-step
+        (`parallel/fleet.make_fleet_super_step_row_sharded`)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(self.mesh, P(self._stack_axes, self.shard_axes))
+
+        def f(path, leaf):
+            addr = self._plane_leaf_addr(path)
+            if addr is None or not hasattr(leaf, "ndim") or leaf.ndim != 4:
+                return leaf
+            which, name, lvl = addr
+            C, H, W = (int(s) for s in self._plane_shapes_of(which)[lvl][name])
+            A = leaf.shape[0]
+            flat = jnp.transpose(leaf, (0, 2, 3, 1)).reshape(A, H * W, C)
+            Rp = self._pad_h(H) * W
+            if Rp > H * W:
+                flat = jnp.pad(flat, ((0, 0), (0, Rp - H * W), (0, 0)))
+            return jax.lax.with_sharding_constraint(flat, shard)
+
+        return jax.tree_util.tree_map_with_path(f, tree)
+
+    def _unshard_plane_state_stacked(self, tree):
+        """Leaving the fleet super-step: [A, Hp*W, C] -> [A, C, H, W]."""
+        def f(path, leaf):
+            addr = self._plane_leaf_addr(path)
+            if addr is None or not hasattr(leaf, "ndim") or leaf.ndim != 3:
+                return leaf
+            which, name, lvl = addr
+            C, H, W = (int(s) for s in self._plane_shapes_of(which)[lvl][name])
+            A = leaf.shape[0]
+            return jnp.transpose(leaf[:, :H * W].reshape(A, H, W, C),
+                                 (0, 3, 1, 2))
+
+        return jax.tree_util.tree_map_with_path(f, tree)
+
     def _seam_fn(self, true_shape):
         """Cached per-plane-shape collective seam
         (`parallel/mesh.make_row_sharded_pack`, shard_map-internal):
@@ -199,7 +258,7 @@ class Mapper:
 
         fn = self._seam_cache.get(true_shape)
         if fn is None:
-            axes = tuple(self.mesh.axis_names)
+            axes = self.shard_axes
             sizes = tuple(int(self.mesh.shape[a]) for a in axes)
             fn = mesh_lib.make_row_sharded_pack(
                 axes, sizes, true_shape, self._pad_h(true_shape[1]),
@@ -339,49 +398,19 @@ class Mapper:
         )
         return state._replace(params=params, opt_state=opt_state), metrics
 
-    def _optimize_row_sharded(self, state, cur_frame, cur_pose, key, iters,
-                              use_cur):
-        """The ZeRO-style optimize: one shard_map program with EXPLICIT
-        collectives (round 4 — GSPMD given the equivalent
-        with_sharding_constraint seams multiplied the gathers ~2-4x and
-        replicated the backward scatter values; see
-        parallel/mesh.make_row_sharded_pack). Per device and iteration:
-
-          fwd:  pack the LOCAL row block (1-y-row halo exchange) ->
-                all-gather the PACKED blocks -> render the LOCAL ray shard
-                (psum-aware losses). Packing before the gather costs 4x
-                the ICI payload but saves ~4.7 ms/iter of full-size pack
-                per device (tools/prof_zero5.py, round 4).
-          bwd:  local scatter of the ray shard's corner cotangents ->
-                reduce-scatter (packed, fold=after; raw, fold=before) ->
-                row-local fold -> row-local Adam.
-
-        Plane params and Adam moments live as flat row-major blocks sharded
-        over all mesh axes; decoder grads psum. Numerically equal to the
-        unsharded path (identical ray batches from the same key stream;
-        tests/test_parallel.py::test_row_sharded_mapper_matches_unsharded)."""
-        from jax.sharding import PartitionSpec as P
-
-        H, W = cur_frame["depth"].shape
-        dir_flat = cur_frame["direction"].reshape(-1, 3)
-        rgb_flat = cur_frame["rgb"].reshape(-1, 3)
-        d_flat = cur_frame["depth"].reshape(-1)
-
-        axes = tuple(self.mesh.axis_names)
+    def _make_row_body(self, H, W, iters, use_cur):
+        """The per-device row-sharded optimize program: `iters` iterations
+        of sample -> render local ray shard -> seam backward -> row-local
+        fold/Adam, collectives over `self.shard_axes`. Shared verbatim by
+        the single-agent shard_map (`_optimize_row_sharded`) and the
+        composed agent x rows fleet super-step
+        (`parallel/fleet.make_fleet_super_step_row_sharded`), so the two
+        deployments run the identical per-device program."""
+        axes = self.shard_axes
         sizes = tuple(int(self.mesh.shape[a]) for a in axes)
         n_dev = self._n_dev
         tr = self.config["training"]
         smooth_w = float(tr.get("smooth_weight", 0.0))
-
-        params0 = self._shard_plane_state(state.params)
-        opt0 = self._shard_plane_state(state.opt_state)
-
-        def spec_of(tree):
-            return jax.tree_util.tree_map_with_path(
-                lambda p, l: (P(axes) if self._plane_leaf_addr(p) is not None
-                              and hasattr(l, "ndim") and l.ndim == 2 else P()),
-                tree)
-
         prefetch = int(self.config["mapping"].get("shard_prefetch", 0))
 
         def body(params, opt_state, db, kf_poses, dirf, rgbf, df, pose, key):
@@ -513,6 +542,49 @@ class Mapper:
                     pgrads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
+
+        return body
+
+    def _optimize_row_sharded(self, state, cur_frame, cur_pose, key, iters,
+                              use_cur):
+        """The ZeRO-style optimize: one shard_map program with EXPLICIT
+        collectives (round 4 — GSPMD given the equivalent
+        with_sharding_constraint seams multiplied the gathers ~2-4x and
+        replicated the backward scatter values; see
+        parallel/mesh.make_row_sharded_pack). Per device and iteration:
+
+          fwd:  pack the LOCAL row block (1-y-row halo exchange) ->
+                all-gather the PACKED blocks -> render the LOCAL ray shard
+                (psum-aware losses). Packing before the gather costs 4x
+                the ICI payload but saves ~4.7 ms/iter of full-size pack
+                per device (tools/prof_zero5.py, round 4).
+          bwd:  local scatter of the ray shard's corner cotangents ->
+                reduce-scatter (packed, fold=after; raw, fold=before) ->
+                row-local fold -> row-local Adam.
+
+        Plane params and Adam moments live as flat row-major blocks sharded
+        over all mesh axes; decoder grads psum. Numerically equal to the
+        unsharded path (identical ray batches from the same key stream;
+        tests/test_parallel.py::test_row_sharded_mapper_matches_unsharded)."""
+        from jax.sharding import PartitionSpec as P
+
+
+        H, W = cur_frame["depth"].shape
+        dir_flat = cur_frame["direction"].reshape(-1, 3)
+        rgb_flat = cur_frame["rgb"].reshape(-1, 3)
+        d_flat = cur_frame["depth"].reshape(-1)
+
+        axes = self.shard_axes
+        params0 = self._shard_plane_state(state.params)
+        opt0 = self._shard_plane_state(state.opt_state)
+
+        def spec_of(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, l: (P(axes) if self._plane_leaf_addr(p) is not None
+                              and hasattr(l, "ndim") and l.ndim == 2 else P()),
+                tree)
+
+        body = self._make_row_body(H, W, iters, use_cur)
 
         smap = jax.shard_map(
             body, mesh=self.mesh,

@@ -129,6 +129,91 @@ def make_fleet_super_step(mapper):
     return step
 
 
+def make_fleet_super_step_row_sharded(mapper):
+    """Composed agent x rows fleet step (round 4): ONE shard_map over the
+    2D ('agent', 'ray') mesh. Each agent owns one 'ray' device group;
+    inside the group the mapper's row-sharded per-device program
+    (`Mapper._make_row_body` — the exact program the single-agent
+    multi-chip deployment runs) executes with collectives over 'ray'
+    only, while the 'agent' axis is pure data parallelism (zero
+    cross-agent ICI traffic). So a 2-agent v5e-8 deployment gives every
+    agent 4-way ZeRO-style row sharding in one compiled step. Per-agent
+    numerics match `Mapper.add_keyframe` + `Mapper.optimize`
+    (tests/test_fleet.py::test_fleet_row_sharded_matches_sequential)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..mapping import keyframe as kf_lib
+
+    mesh = mapper.mesh
+    stack_ax = mapper._stack_axes
+    shard_ax = mapper.shard_axes
+    filter_depth = bool(mapper.config["mapping"].get("filter_depth", False))
+    depth_trunc = float(mapper.config["cam"]["depth_trunc"])
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def step(state, frame_ids, frames, poses, k1s, k2s, valids, iters):
+        H, W = (int(s) for s in frames["depth"].shape[1:])
+        params0 = mapper._shard_plane_state_stacked(state.params)
+        opt0 = mapper._shard_plane_state_stacked(state.opt_state)
+
+        def spec_of(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, l: (P(stack_ax, shard_ax)
+                              if mapper._plane_leaf_addr(p) is not None
+                              and hasattr(l, "ndim") and l.ndim == 3
+                              else P(stack_ax)), tree)
+
+        row_body = mapper._make_row_body(H, W, iters, use_cur=True)
+
+        def body(params, opt, db, kf_poses, frame, pose, fid, k1, k2, valid):
+            # every operand carries a leading agent-block axis of size 1
+            sq = lambda t: jax.tree.map(lambda x: x[0], t)
+            params_l, opt_l = sq(params), sq(opt)
+            db_l, kfp_l = sq(db), sq(kf_poses)
+            frame_l, pose_l = sq(frame), sq(pose)
+
+            # Mapper.add_keyframe semantics (pose written at the pre-add
+            # count slot), replicated across the agent's row group
+            db2 = kf_lib.add_keyframe(
+                db_l, k1[0], fid[0], frame_l["direction"], frame_l["rgb"],
+                frame_l["depth"], filter_depth=filter_depth,
+                depth_trunc=depth_trunc)
+            kfp2 = jax.lax.dynamic_update_index_in_dim(
+                kfp_l, pose_l, db_l.count, axis=0)
+
+            p2, o2, metrics = row_body(
+                params_l, opt_l, db2, kfp2,
+                frame_l["direction"].reshape(-1, 3),
+                frame_l["rgb"].reshape(-1, 3),
+                frame_l["depth"].reshape(-1), pose_l, k2[0])
+
+            sel = lambda a, b: jnp.where(valid[0], a, b)
+            p2 = jax.tree.map(sel, p2, params_l)
+            o2 = jax.tree.map(sel, o2, opt_l)
+            db2 = jax.tree.map(sel, db2, db_l)
+            kfp2 = sel(kfp2, kfp_l)
+            ex = lambda t: jax.tree.map(lambda x: x[None], t)
+            return ex(p2), ex(o2), ex(db2), ex(kfp2), ex(metrics)
+
+        smap = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_of(params0), spec_of(opt0), P(stack_ax),
+                      P(stack_ax), P(stack_ax), P(stack_ax), P(stack_ax),
+                      P(stack_ax), P(stack_ax), P(stack_ax)),
+            out_specs=(spec_of(params0), spec_of(opt0), P(stack_ax),
+                       P(stack_ax), P(stack_ax)),
+            check_vma=False)
+        p, o, db, kfp, metrics = smap(
+            params0, opt0, state.db, state.kf_poses, frames, poses,
+            frame_ids, k1s, k2s, valids)
+        p = mapper._unshard_plane_state_stacked(p)
+        o = mapper._unshard_plane_state_stacked(o)
+        return state._replace(params=p, opt_state=o, db=db,
+                              kf_poses=kfp), metrics
+
+    return step
+
+
 class MeshAgentFleet:
     """Multi-agent mapping runner where the per-agent map states are one
     sharded stack and every round's keyframe optimization is ONE pjit call
@@ -142,15 +227,30 @@ class MeshAgentFleet:
         n = len(agents)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(n)
         self.mapper = agents[0].mapper
-        if getattr(self.mapper, "shard_rows", False) or self.mapper.mesh is not None:
-            # mapping.shard_plane_rows is the SINGLE-agent multi-chip knob;
-            # the fleet already shards over (agent x ray) and vmaps the
-            # mapper, so per-agent sharding constraints over a different
-            # mesh cannot compose — run the fleet with a plain mapper.
+        want_rows = (getattr(self.mapper, "shard_rows", False)
+                     or bool(agents[0].config["mapping"]
+                             .get("shard_plane_rows", False)))
+        n_rows = int(self.mesh.shape.get("ray", 1))
+        self.row_sharded = want_rows and n_rows > 1
+        if self.row_sharded:
+            # compose: each agent's 'ray' device group runs the row-sharded
+            # mapper program (collectives over 'ray' only), agents ride the
+            # 'agent' axis — see make_fleet_super_step_row_sharded
             from ..mapping.mapper import Mapper
 
-            print("[fleet] mapping.shard_plane_rows/mapper mesh ignored under "
-                  "the mesh fleet (agents shard the mesh already)")
+            self.mapper = Mapper(self.mapper.config, self.mapper.scene,
+                                 num_kf=self.mapper.num_kf,
+                                 rays_per_kf=self.mapper.rays_per_kf,
+                                 mesh=self.mesh, shard_plane_rows=True,
+                                 shard_axes=("ray",))
+        elif getattr(self.mapper, "shard_rows", False) or self.mapper.mesh is not None:
+            # a single-agent mapper mesh cannot compose with the fleet's
+            # agent sharding when no row group is available (devices ==
+            # agents) — run the fleet with a plain mapper.
+            from ..mapping.mapper import Mapper
+
+            print("[fleet] mapper mesh ignored under the mesh fleet "
+                  "(no spare devices for a per-agent row group)")
             self.mapper = Mapper(self.mapper.config, self.mapper.scene,
                                  num_kf=self.mapper.num_kf,
                                  rays_per_kf=self.mapper.rays_per_kf)
@@ -168,7 +268,9 @@ class MeshAgentFleet:
         ]
         for a, c in zip(agents, self.collabs):
             a.collab = c
-        self._super_step = make_fleet_super_step(self.mapper)
+        self._super_step = (make_fleet_super_step_row_sharded(self.mapper)
+                            if self.row_sharded
+                            else make_fleet_super_step(self.mapper))
 
     # ------------------------------------------------------------------
 

@@ -88,12 +88,13 @@ def make_multi_agent_train_step(scene, optimizer: optax.GradientTransformation):
     return step
 
 
-def row_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0) -> NamedSharding:
-    """Shard `axis` of an n-d table over EVERY mesh axis combined (the
-    row-sharded plane/optimizer-state placement of the ZeRO-style mapping
-    path)."""
+def row_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0,
+                 names=None) -> NamedSharding:
+    """Shard `axis` of an n-d table over the given mesh axes (default: EVERY
+    mesh axis combined — the row-sharded plane/optimizer-state placement of
+    the ZeRO-style mapping path)."""
     spec = [None] * ndim
-    spec[axis] = tuple(mesh.axis_names)
+    spec[axis] = tuple(names) if names is not None else tuple(mesh.axis_names)
     return NamedSharding(mesh, P(*spec))
 
 

@@ -228,15 +228,57 @@ def test_mesh_comms_descriptor_roundtrip():
     np.testing.assert_allclose(by_key[(0, 4)], vecs[2], atol=1e-6)
 
 
-def test_fleet_overrides_row_sharded_mapper(tmp_path):
-    """mapping.shard_plane_rows is the single-agent multi-chip knob; under
-    the mesh fleet (which shards over agents and vmaps the mapper) it must
-    be ignored, not crash: the fleet builds a plain-mapper clone."""
+def test_fleet_overrides_row_sharded_mapper_no_row_group(tmp_path):
+    """When the fleet mesh has no spare devices for a per-agent row group
+    (devices == agents), mapping.shard_plane_rows cannot compose — the
+    fleet must fall back to a plain-mapper clone, not crash."""
     cfg = fleet_cfg(tmp_path, exp="rows")
     cfg["mapping"]["shard_plane_rows"] = True
     agents = make_agents(cfg, tmp_path, "rows")
     assert agents[0].mapper.shard_rows            # per-agent knob engaged
-    fleet = MeshAgentFleet(agents)
+    fleet = MeshAgentFleet(agents,
+                           mesh=pmesh.make_mesh(2, devices=jax.devices()[:2]))
+    assert not fleet.row_sharded
     assert not getattr(fleet.mapper, "shard_rows", False)
     logs = fleet.run_mapping_only()
     assert all(np.isfinite(m["loss"]) for log in logs for m in log)
+
+
+@pytest.mark.slow
+def test_fleet_row_sharded_matches_sequential(tmp_path):
+    """The composed agent x rows fleet (2 agents x 4-device row groups on
+    the 8-device mesh; `make_fleet_super_step_row_sharded`) matches the
+    sequential runner numerically: each agent's per-device program is the
+    single-agent row-sharded mapper program with collectives confined to
+    its own 'ray' group."""
+    from mneslam_tpu.agents.runner import MultiAgentRunner
+
+    assert len(jax.devices()) >= 8
+    cfg = fleet_cfg(tmp_path, "seqrow", loop=False)
+
+    seq_agents = make_agents(cfg, tmp_path, "seqrow")
+    runner = MultiAgentRunner(seq_agents)
+    seq_metrics = runner.run_mapping_only()
+
+    cfg2 = fleet_cfg(tmp_path, "meshrow", loop=False)
+    cfg2["mapping"]["shard_plane_rows"] = True
+    mesh_agents = make_agents(cfg2, tmp_path, "meshrow")
+    fleet = MeshAgentFleet(mesh_agents)
+    assert fleet.row_sharded
+    assert fleet.mapper.shard_rows and fleet.mapper.shard_axes == ("ray",)
+    assert fleet.mesh.shape["agent"] == 2 and fleet.mesh.shape["ray"] == 4
+    fleet_metrics = fleet.run_mapping_only()
+
+    for seq_log, fl_log in zip(seq_metrics, fleet_metrics):
+        assert len(seq_log) == len(fl_log)
+        for ms, mf in zip(seq_log, fl_log):
+            assert abs(ms["loss"] - mf["loss"]) < 5e-3, (ms, mf)
+
+    for a_seq, a_mesh in zip(seq_agents, mesh_agents):
+        for (path, lm), ls in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    a_mesh.map_state.params)[0],
+                jax.tree.leaves(a_seq.map_state.params)):
+            np.testing.assert_allclose(
+                np.asarray(lm), np.asarray(ls), atol=2e-4, rtol=1e-3,
+                err_msg=jax.tree_util.keystr(path))
