@@ -130,11 +130,14 @@ def test_fleet_loop_closure_through_mesh_comms(tmp_path):
 
 
 @pytest.mark.slow
-def test_fleet_slam_matches_sequential(tmp_path):
+@pytest.mark.parametrize("row_sharded", [False, True])
+def test_fleet_slam_matches_sequential(tmp_path, row_sharded):
     """Full SLAM through the mesh fleet (per-agent tracking + ONE sharded
     mapping super-step per round) == the sequential interleaved runner,
     numerically: same tracker trajectories, same mapping key streams, and
-    map params matching to float tolerance."""
+    map params matching to float tolerance. Parametrized over the composed
+    agent x rows mode (round 4) so the run_slam/_map_pending path is
+    equality-tested with row sharding engaged too."""
     from mneslam_tpu.agents.runner import MultiAgentRunner
     from tests.test_slam_full import gt_tracker_poses, make_oracle
 
@@ -192,8 +195,12 @@ def test_fleet_slam_matches_sequential(tmp_path):
         alive = [a.slam_step() if ok else False
                  for a, ok in zip(seq_agents, alive)]
 
-    mesh_agents = build("meshslam")
+    mesh_agents = build("meshslam" + ("row" if row_sharded else ""))
+    if row_sharded:
+        for a in mesh_agents:
+            a.config["mapping"]["shard_plane_rows"] = True
     fleet = MeshAgentFleet(mesh_agents)
+    assert fleet.row_sharded == row_sharded
     al = [True, True]
     while any(al):
         al = [a.track_step() if ok else False

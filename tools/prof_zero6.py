@@ -21,7 +21,10 @@ remote compiler's request limit at these sizes — prof_zero5 note).
 Protocol: CLAUDE.md direct timing (K-iter fori_loop -> scalar, median of
 5 fetch-synced walls / K).
 
-Usage: python tools/prof_zero6.py [n_shards] [--bf16]
+Usage: python tools/prof_zero6.py [n_shards] [--bf16] [--fast]
+  --fast: the room0_fast.yaml mapping profile (8 depth-guided samples
+  instead of 32; pair with --bf16 for that profile's default dtype) — the
+  equal-quality deployment profile's per-device sharded program.
 """
 
 import json
@@ -55,6 +58,7 @@ def timed(name, fn, *args):
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     bf16 = "--bf16" in sys.argv
+    fast = "--fast" in sys.argv
     n_shards = int(argv[0]) if argv else 8
     n_global, n_cur = 2048 // n_shards, 104 // n_shards
 
@@ -76,7 +80,8 @@ def main():
         "cam": {"H": H, "W": W, "fx": W / 2, "fy": W / 2,
                 "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
                 "H_out": H, "W_out": W, "near": 0.0, "far": 10.0},
-        "training": {"n_range_d": 11, "n_samples_d": 32, "range_d": 0.1,
+        "training": {"n_range_d": 11, "n_samples_d": 8 if fast else 32,
+                     "range_d": 0.1,
                      "render_dtype": "bfloat16" if bf16 else "float32"},
     })
     scene = SceneRep(cfg)
@@ -93,8 +98,9 @@ def main():
     cdt = scene.compute_dtype
 
     print(f"device={jax.devices()[0]}  K={K}  shards={n_shards}  "
-          f"rays={n_global}+{n_cur}  dtype={jnp.dtype(cdt).name}", flush=True)
-    results = {"n_shards": n_shards, "bf16": bf16}
+          f"rays={n_global}+{n_cur}  dtype={jnp.dtype(cdt).name}"
+          f"{'  profile=fast' if fast else ''}", flush=True)
+    results = {"n_shards": n_shards, "bf16": bf16, "fast": fast}
 
     p_local = {"planes": {}, "decoder": st.params["decoder"]}
     rest_packed, true_shapes, hlocs = {}, {}, {}

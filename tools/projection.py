@@ -93,6 +93,8 @@ def main():
         try:
             line = open(path).read().strip().splitlines()[-1]
             d = json.loads(line)
+            if d.get("fast"):
+                continue  # fast-profile runs are a different sampling config
             dt = "bf16" if d.get("bf16") else "fp32"
             measured[(int(d["n_shards"]), dt)] = float(d["S_sync"])
         except (ValueError, KeyError, IndexError):
