@@ -243,6 +243,12 @@ class AgentCollaboration:
             decay_sigma=float(lc.get("pose_decay_sigma", 10.0)),
             min_weight=float(lc.get("pose_decay_min_weight", 0.1)),
         )
+        if bool(lc.get("map_aligned", False)):
+            # reference-faithful mode (mp_slam/mapper.py:193-198): the
+            # agent's own map consumes the aligned trajectory too
+            self.slam.set_aligned_kf_poses(
+                np.asarray(kf_timestamps)[: len(poses)],
+                np.asarray(self.aligned_poses_c2w))
 
     # ------------------------------------------------------------------
     # bound-overlap fusion (mapper.py:646-706)

@@ -179,6 +179,14 @@ _DEFAULTS: Dict[str, Any] = {
         "mode": "gated",
         "accept_loss": 0.05,
         "accept_ratio": 0.25,
+        # Reference-faithful aligned-pose feedback (mp_slam/mapper.py:193-198):
+        # when True, the closure-deformed trajectory is fed back into the
+        # agent's OWN map (mapper keyframe poses are overridden with the
+        # aligned ones on every pose refresh). Default False: the rebuild
+        # keeps the private map in tracker world and aligns only the
+        # exported trajectory, because each closure transform is re-measured
+        # against the unaligned tracker pose (see slam._refresh_mapped_poses).
+        "map_aligned": False,
     },
     "loop_detection": {
         "enabled": False,

@@ -153,6 +153,11 @@ class MNESLAM:
         self.metrics_log: list[Dict] = []
         self._metrics_flushed = 0  # log entries converted to host floats
         self.collab = None  # set by MultiAgentRunner / AgentCollaboration
+        # loop_closure.map_aligned: (timestamps, c2w) pushed by the
+        # collaboration layer after each closure deformation — the
+        # reference's aligned_poses_c2w feedback into mapping
+        # (mp_slam/mapper.py:193-198)
+        self._aligned_kf_override = None
 
         # slam_step cursor state (multi-agent interleaving advances agents
         # one motion-filter batch at a time through slam_step)
@@ -191,16 +196,22 @@ class MNESLAM:
         ONE jitted batched dispatch for all slots (the former per-slot host
         loop was O(K) dispatches per keyframe, O(K^2) per run — VERDICT r2
         weak #6); no host readbacks at all."""
-        if self.tracker is None or not self.mapped_timestamps:
+        if not self.mapped_timestamps:
             return
-        # NOTE: the agent's own map deliberately stays in its own tracker
-        # world. The reference feeds aligned_poses_c2w back into mapping
-        # (mapper.py:193-198), but each closure's relative transform is
-        # re-measured against the *unaligned* tracker pose, so re-applying
+        if self.tracker is None:
+            self._apply_aligned_override()
+            return
+        # NOTE: by default the agent's own map deliberately stays in its own
+        # tracker world. The reference feeds aligned_poses_c2w back into
+        # mapping (mapper.py:193-198), but each closure's relative transform
+        # is re-measured against the *unaligned* tracker pose, so re-applying
         # it to already-deformed poses compounds the correction (divergent
         # under repeated closures). Here the aligned trajectory is the
         # exported estimate (publish/fusion/eval); the private map keeps a
-        # single consistent frame.
+        # single consistent frame. `loop_closure.map_aligned: true` restores
+        # the reference behavior: the collaboration layer pushes the deformed
+        # trajectory via set_aligned_kf_poses and it overrides the refreshed
+        # slots below.
         with self.timers.stage("pose_refresh"):
             num_kf = self.map_state.kf_poses.shape[0]
             mts = np.full((num_kf,), -1.0, np.float32)
@@ -213,6 +224,37 @@ class MNESLAM:
                 self.tracker.state.poses_gt[0],
             )
             self.map_state = self.map_state._replace(kf_poses=new_poses)
+        self._apply_aligned_override()
+
+    def set_aligned_kf_poses(self, timestamps, poses_c2w):
+        """`loop_closure.map_aligned` feedback: the collaboration layer's
+        closure-deformed trajectory, to be mapped against from now on (the
+        reference's aligned_poses_c2w consumption, mp_slam/mapper.py:193-198).
+        Stored and applied immediately; re-applied after every tracker pose
+        refresh so aligned poses always win for matching keyframe slots."""
+        self._aligned_kf_override = (
+            np.asarray(timestamps, np.float64).ravel(),
+            np.asarray(poses_c2w, np.float32),
+        )
+        self._apply_aligned_override()
+
+    def _apply_aligned_override(self):
+        if self._aligned_kf_override is None or not self.mapped_timestamps:
+            return
+        ats, aposes = self._aligned_kf_override
+        num_kf = self.map_state.kf_poses.shape[0]
+        ov = np.zeros((num_kf, 4, 4), np.float32)
+        mask = np.zeros((num_kf, 1, 1), bool)
+        pos = {float(t): i for i, t in enumerate(ats)}
+        for slot, t in enumerate(self.mapped_timestamps[:num_kf]):
+            j = pos.get(float(t))
+            if j is not None:
+                ov[slot] = aposes[j]
+                mask[slot] = True
+        if mask.any():
+            kf = jnp.where(jnp.asarray(mask), jnp.asarray(ov),
+                           self.map_state.kf_poses)
+            self.map_state = self.map_state._replace(kf_poses=kf)
 
     # ------------------------------------------------------------------
 

@@ -286,6 +286,64 @@ def test_closure_reference_mode_applies_every(monkeypatch):
                                rel_bad @ poses_of(6), atol=1e-4)
 
 
+def test_closure_map_aligned_pushes_trajectory(monkeypatch):
+    """loop_closure.map_aligned: true (reference-faithful aligned-pose
+    feedback, mp_slam/mapper.py:193-198) pushes the closure-deformed
+    trajectory into the agent's OWN map via slam.set_aligned_kf_poses;
+    the default (false) never calls it."""
+    collab, drive, rel_true, poses_of, cur = _gate_scenario(
+        monkeypatch, {"map_aligned": True})
+
+    pushed = []
+    collab.slam.set_aligned_kf_poses = (
+        lambda ts, poses: pushed.append((np.asarray(ts), np.asarray(poses))))
+
+    drive(cur, best=0.01, init=0.2, map_id=3, n=4)
+    assert len(pushed) == 1
+    ts, poses = pushed[0]
+    np.testing.assert_allclose(ts, np.arange(4.0))
+    np.testing.assert_allclose(poses, rel_true @ poses_of(4), atol=1e-5)
+
+    # default mode: the push never happens
+    collab2, drive2, _, _, cur2 = _gate_scenario(monkeypatch, {})
+    collab2.slam.set_aligned_kf_poses = (
+        lambda *a: pytest.fail("map_aligned=False must not feed the map"))
+    drive2(cur2, best=0.01, init=0.2, map_id=3, n=4)
+
+
+def test_set_aligned_kf_poses_overrides_map_slots(tmp_path):
+    """slam.set_aligned_kf_poses overrides exactly the matching mapped
+    keyframe slots (by timestamp), leaves the rest untouched, and the
+    override survives a pose refresh — the map_aligned contract
+    (mp_slam/mapper.py:193-198: mapping consumes aligned_poses_c2w)."""
+    from mneslam_tpu.slam import MNESLAM
+
+    cfg = tiny_cfg(tmp_path)
+    ds = SyntheticBoxDataset(cfg, num_frames=7)
+    slam = MNESLAM(cfg, ds, rank=0)
+    slam.run_mapping_only(log_every=100)  # keyframe_every=2: frames 0,2,4,6
+    assert slam.mapped_timestamps[:3] == [0.0, 2.0, 4.0]
+    before = np.asarray(slam.map_state.kf_poses)
+
+    # aligned trajectory covers frames 0 and 4 only (2 stays tracker-world)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [0.5, -0.25, 0.125]
+    aligned = np.stack([shift @ before[0], shift @ before[2]])
+    slam.set_aligned_kf_poses(np.asarray([0.0, 4.0]), aligned)
+
+    after = np.asarray(slam.map_state.kf_poses)
+    np.testing.assert_allclose(after[0], aligned[0], atol=1e-6)
+    np.testing.assert_allclose(after[2], aligned[1], atol=1e-6)
+    np.testing.assert_allclose(after[1], before[1], atol=1e-6)  # untouched
+
+    # a later pose refresh must not clobber the override
+    slam.map_state = slam.map_state._replace(kf_poses=jnp.asarray(before))
+    slam._refresh_mapped_poses()
+    again = np.asarray(slam.map_state.kf_poses)
+    np.testing.assert_allclose(again[0], aligned[0], atol=1e-6)
+    np.testing.assert_allclose(again[2], aligned[1], atol=1e-6)
+
+
 @pytest.mark.slow
 def test_render_pose_alignment_recovers_perturbation(tmp_path):
     """Train a map, perturb a pose, recover it by render alignment."""
