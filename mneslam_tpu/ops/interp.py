@@ -263,7 +263,8 @@ def _sample_plane_bwd(res, dout):
         dout * ((1 - wx) * wy)[:, None],
         dout * (wx * wy)[:, None],
     ], axis=-1)                                        # [N, 4C]
-    d_packed = jnp.zeros((H * W, 4 * C), vals.dtype).at[idx].add(vals)
+    from . import pallas_kernels
+    d_packed = pallas_kernels.scatter_add_rows(idx, vals, H * W)
     d_plane = _unpack_corners_adjoint(d_packed, C, H, W)
 
     # --- coordinate cotangent (pose-render alignment differentiates
@@ -371,7 +372,8 @@ def _sample_packed_bwd(shape, res, dout):
         dout * ((1 - wx) * wy)[:, None],
         dout * (wx * wy)[:, None],
     ], axis=-1)                                        # [N, 4C]
-    d_packed = jnp.zeros((n_rows, 4 * C), vals.dtype).at[idx].add(vals)
+    from . import pallas_kernels
+    d_packed = pallas_kernels.scatter_add_rows(idx, vals, n_rows)
 
     g00, g01, g10, g11 = (g[:, i * C:(i + 1) * C] for i in range(4))
     gx = (g01 - g00) * (1 - wy)[:, None] + (g11 - g10) * wy[:, None]

@@ -84,6 +84,30 @@ def test_sample_plane_packed_custom_vjp():
                                np.asarray(gb_c)[no_tie], atol=1e-4)
 
 
+def test_pallas_scatter_add_rows_matches_xla():
+    """The mapping backward's plane-cotangent scatter: the Pallas
+    VMEM-resident serial-accumulate kernel (interpret mode on CPU) ==
+    zeros.at[idx].add(vals), including duplicate indices and untouched
+    rows, at a non-multiple-of-8 row count (the sublane pad path)."""
+    from mneslam_tpu.ops import pallas_kernels
+
+    rng = np.random.default_rng(0)
+    for n_rows, nu, width in ((201, 64, 128), (1001, 500, 64)):
+        idx = jnp.asarray(rng.integers(0, n_rows, nu), jnp.int32)
+        # force duplicates
+        idx = idx.at[: nu // 4].set(idx[nu // 4: nu // 2])
+        vals = jnp.asarray(rng.standard_normal((nu, width)), jnp.float32)
+        ref = jnp.zeros((n_rows, width), jnp.float32).at[idx].add(vals)
+        got = pallas_kernels.scatter_add_rows_pallas(idx, vals, n_rows,
+                                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    # the dispatcher falls back to XLA on CPU (and under the env override)
+    out = pallas_kernels.scatter_add_rows(idx, vals, n_rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_pack_corners_hwc_and_rows_fold():
     """The row-sharded mapper's raw-rows collective seam primitives
     (parallel/mesh.make_row_sharded_pack): `pack_corners_hwc` ==

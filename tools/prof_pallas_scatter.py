@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K = 20
+K = 200
 N_WALL = 5
 
 
@@ -128,12 +128,15 @@ def make_pallas_scatter(n_rows, nu, width, dtype, n_blocks=1, unroll=1):
 def main():
     bf16 = "--bf16" in sys.argv
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    nu, width = 11567, 128
+    width = 128
     results = {"bf16": bf16}
-    print(f"device={jax.devices()[0]}  K={K}  Nu={nu}  width={width}  "
+    print(f"device={jax.devices()[0]}  K={K}  width={width}  "
           f"dtype={jnp.dtype(dtype).name}", flush=True)
 
-    for tag, n_rows in (("fine", 160801), ("coarse", 40401)):
+    shapes = [("fine@11.5k", 160801, 11567), ("coarse@11.5k", 40401, 11567),
+              ("fine@5.8k", 160801, 5784), ("fine@23k", 160801, 23134),
+              ("fine@92k", 160801, 92536)]
+    for tag, n_rows, nu in shapes:
         key = jax.random.PRNGKey(0)
         idx = jax.random.randint(key, (nu,), 0, n_rows, jnp.int32)
         vals = jax.random.normal(jax.random.fold_in(key, 1),
@@ -157,13 +160,8 @@ def main():
         ref = np.asarray(xla_scatter(idx, vals), np.float32)
 
         variants = [("xla", xla_scatter),
-                    ("pallas1", make_pallas_scatter(n_rows, nu, width, dtype)),
                     ("pallasU8", make_pallas_scatter(n_rows, nu, width, dtype,
                                                      unroll=8))]
-        if tag == "fine":
-            variants.append(
-                ("pallasB4", make_pallas_scatter(n_rows, nu, width, dtype,
-                                                 n_blocks=4)))
 
         for name, fn in variants:
             full = f"{tag}/{name}"
