@@ -353,6 +353,23 @@ def main():
         fleet["per_agent_kf_hz_sharded"] = round(
             1e3 / fleet["super_step_ms_1agent"], 2)
 
+    # ---- row-sharded mapper per-device step (the >5 Hz north-star) ----
+    # Single-chip execution of the v5e-8 per-device program (local ray
+    # shard + local plane rows; collectives replaced by their local
+    # equivalents — tools/rowshard_step.py). Per-device COMPUTE is
+    # measured; ICI remains analytic (tools/projection.py).
+    rowshard = {}
+    if not args.quick:
+        import os
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from rowshard_step import measure_ms_iter
+
+        ms8 = measure_ms_iter(8, k=40, n_wall=5)
+        rowshard["per_device_ms_iter_8shard"] = round(ms8, 2)
+        rowshard["kf_hz_ceiling_v5e8"] = round(1e3 / (iters * ms8), 2)
+
     # ---- end-to-end SLAM throughput (the reference's real-time claim) ----
     # Composite pipeline rate at the reference's keyframe admission (~1 in 5
     # frames at the 4 px flow threshold, configs/Replica/replica.yaml:62-63):
@@ -387,6 +404,7 @@ def main():
             "track_batch": MB,
             "scannet_scale": scannet,
             "fleet": fleet,
+            "rowshard": rowshard,
         },
     }
     print(json.dumps(result))

@@ -88,6 +88,9 @@ def main():
     import os
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "measurements/zero6/*.txt")))
+    # post-Pallas-scatter re-measurements (round 4) override the originals
+    paths += sorted(glob.glob(os.path.join(here,
+                                           "measurements/zero6_pallas/*.txt")))
     paths += sorted(glob.glob("/tmp/zero6_*.txt"))  # fresher runs win
     for path in paths:
         try:

@@ -1,0 +1,178 @@
+"""Single-chip builder for the row-sharded mapper's PER-DEVICE program.
+
+The row-sharded deployment (`parallel/mesh.make_row_sharded_pack` inside
+shard_map) gives every device 1/N of the ray batch and 1/N of the plane
+rows; per iteration each device packs its local row block, all-gathers
+the packed blocks, renders/backprops its ray shard, reduce-scatters the
+packed cotangents, folds and Adam-updates its local rows. This module
+builds that per-device program on ONE chip by replacing the collectives
+with their local equivalents (concat with a precomputed packed rest =
+the all-gather's result; slice = the reduce-scatter's local block), so
+the per-device COMPUTE is measured exactly while ICI stays an analytic
+term (no multi-chip hardware in this image; see tools/projection.py).
+
+Used by tools/prof_zero6.py (the S/H/P structure comparison) and by
+bench.py's `rowshard` extras block (the driver-recorded north-star
+number). Emulation fidelity is pinned by tests/test_parallel.py's
+8-device == 1-device equality on the production seam.
+
+Config mirrors the deployment scale: Replica working shapes
+(/root/reference/configs/Replica/replica.yaml:13-28 — 2048+~100 rays,
+50 iters/kf, 32+11 samples; --fast: 8 depth-guided samples, 25 iters).
+"""
+
+import sys
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
+                    k: int = 40):
+    """Build the sync-seam per-device mapping program.
+
+    Returns (fn, args): fn is an UNJITTED k-iteration fori_loop chain
+    reducing to a scalar (the CLAUDE.md direct-timing protocol); args is
+    its argument tuple. jit and time it: median wall / k = ms/iter.
+    """
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.data import rays as rays_lib
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping import keyframe as kf_lib
+    from mneslam_tpu.mapping.mapper import Mapper, make_optimizer
+    from mneslam_tpu.models.scene_rep import SceneRep
+    from mneslam_tpu.ops import interp
+
+    n_global, n_cur = 2048 // n_shards, 104 // n_shards
+    bound, coarse, fine = 4.0, 0.04, 0.02
+    H, W = 320, 640
+    cfg = make_config({
+        "mapping": {"bound": [[-bound, bound]] * 3,
+                    "marching_cubes_bound": [[-bound, bound]] * 3,
+                    "sample": n_global, "min_pixels_cur": n_cur, "iters": 50},
+        "planes_res": {"coarse": coarse, "fine": fine,
+                       "bound_dividable": coarse},
+        "cam": {"H": H, "W": W, "fx": W / 2, "fy": W / 2,
+                "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 10.0},
+        "training": {"n_range_d": 11, "n_samples_d": 8 if fast else 32,
+                     "range_d": 0.1,
+                     "render_dtype": "bfloat16" if bf16 else "float32"},
+    })
+    scene = SceneRep(cfg)
+    ds = SyntheticBoxDataset(cfg, num_frames=2, half=bound * 0.9)
+    mapper = Mapper(cfg, scene, num_kf=8, rays_per_kf=ds.num_rays_to_save)
+    st = mapper.init_state(jax.random.PRNGKey(2))
+    frame = {kk: jnp.asarray(v) for kk, v in ds[0].items() if kk != "frame_id"}
+    c2w = jnp.asarray(ds[0]["c2w"])
+    st = mapper.add_keyframe(st, jnp.asarray(0), frame, c2w,
+                             jax.random.PRNGKey(3))
+    opt = make_optimizer(cfg)
+    dir_flat = frame["direction"].reshape(-1, 3)
+    rgb_flat = frame["rgb"].reshape(-1, 3)
+    d_flat = frame["depth"].reshape(-1)
+    cdt = scene.compute_dtype
+
+    # local row shard + precomputed packed rest (the all-gather's result)
+    p_local = {"planes": {}, "decoder": st.params["decoder"]}
+    rest_packed, true_shapes, hlocs = {}, {}, {}
+    for name in ("xy", "xz", "yz"):
+        p_local["planes"][name] = []
+        rest_packed[name], true_shapes[name], hlocs[name] = [], [], []
+        for pl in st.params["planes"][name]:
+            C, Hh, Ww = pl.shape
+            hloc = Hh // n_shards
+            p_local["planes"][name].append(pl[:, :hloc])
+            rest_packed[name].append(
+                interp.pack_corners(pl.astype(cdt))[hloc * Ww:])
+            true_shapes[name].append((C, Hh, Ww))
+            hlocs[name].append(hloc)
+    p_local = jax.tree.map(jnp.asarray, p_local)
+    rest_packed = jax.tree.map(jnp.asarray, rest_packed)
+
+    def make_sync_seam(ts, hloc):
+        C, Hh, Ww = ts
+        B = hloc * Ww
+
+        @jax.custom_vjp
+        def f(loc, rest):
+            return jnp.concatenate(
+                [interp.pack_corners(loc.astype(cdt)), rest], axis=0)
+
+        def fwd(loc, rest):
+            return f(loc, rest), None
+
+        def bwd(_, d):
+            blk = d[:B]
+            out = interp.fold_corners_rows(blk, Hh, Ww, y0=0, halo_row=None)
+            return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
+                    .astype(jnp.float32),
+                    jnp.zeros((Hh * Ww - B, 4 * C), cdt))
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    sync_seams = {name: [make_sync_seam(true_shapes[name][lvl],
+                                        hlocs[name][lvl])
+                         for lvl in range(2)] for name in ("xy", "xz", "yz")}
+
+    def loss_with(p, rest, db, kf_poses, key):
+        planes_packed = {
+            name: [interp.PackedPlane(
+                sync_seams[name][lvl](p["planes"][name][lvl],
+                                      rest[name][lvl]),
+                true_shapes[name][lvl])
+                   for lvl in range(2)]
+            for name in ("xy", "xz", "yz")}
+        params = {"planes": planes_packed, "decoder": p["decoder"]}
+        k_db, k_cur, k_render = jax.random.split(key, 3)
+        g_rays, slot_ids = kf_lib.sample_global_rays(db, k_db, n_global)
+        g_o, g_d = rays_lib.rays_from_pose(g_rays[:, :3], kf_poses[slot_ids])
+        idx = jax.random.randint(k_cur, (n_cur,), 0, H * W)
+        c_o, c_d = rays_lib.rays_from_pose(dir_flat[idx], c2w)
+        rays_o = jnp.concatenate([g_o, c_o], axis=0)
+        rays_d = jnp.concatenate([g_d, c_d], axis=0)
+        t_rgb = jnp.concatenate([g_rays[:, 3:6], rgb_flat[idx]], axis=0)
+        t_d = jnp.concatenate([g_rays[:, 6], d_flat[idx]], axis=0)[:, None]
+        ret = scene.forward(params, rays_o, rays_d, t_rgb, t_d, key=k_render)
+        return scene.get_loss_from_ret(ret)
+
+    def run_sync(p, s, rest, db, kf_poses, key):
+        def loss(p, kk):
+            return loss_with(p, rest, db, kf_poses, kk)
+
+        def body(i, c):
+            p, s = c
+            _, g = jax.value_and_grad(loss)(p, jax.random.fold_in(key, i))
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        p, s = jax.lax.fori_loop(0, k, body, (p, s))
+        return p["planes"]["xy"][1][0, 0, 0]
+
+    args = (p_local, opt.init(p_local), rest_packed, st.db, st.kf_poses,
+            jax.random.PRNGKey(0))
+    return run_sync, args
+
+
+def measure_ms_iter(n_shards: int, bf16: bool = False, fast: bool = False,
+                    k: int = 40, n_wall: int = 5) -> float:
+    """Direct-protocol measurement: jit the k-iter chain, warm it, median
+    of n_wall fetch-synced walls / k."""
+    import time
+
+    fn, args = build_sync_step(n_shards, bf16=bf16, fast=fast, k=k)
+    jfn = jax.jit(fn)
+    float(np.asarray(jfn(*args)).ravel()[0])
+    walls = []
+    for _ in range(n_wall):
+        t0 = time.perf_counter()
+        float(np.asarray(jfn(*args)).ravel()[0])
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls)) / k * 1e3
