@@ -312,6 +312,15 @@ def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
     nu, width = vals.shape
     padded = -(-n_rows // 8) * 8  # sublane multiple
     kernel = functools.partial(_scatter_rows_kernel, nu=nu, unroll=8)
+    try:
+        # under shard_map the output must declare its varying mesh axes
+        # (check_vma) — it varies exactly where the inputs do
+        vma = frozenset(jax.typeof(idx).vma) | frozenset(jax.typeof(vals).vma)
+    except (AttributeError, TypeError):  # older jax: no vma tracking
+        vma = None
+    out_shape = (jax.ShapeDtypeStruct((padded, width), vals.dtype)
+                 if vma is None else
+                 jax.ShapeDtypeStruct((padded, width), vals.dtype, vma=vma))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -320,7 +329,7 @@ def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
             in_specs=[pl.BlockSpec((nu, width), lambda b, idx: (0, 0))],
             out_specs=pl.BlockSpec((padded, width), lambda b, idx: (0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((padded, width), vals.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -334,11 +343,14 @@ def scatter_add_rows(idx: jax.Array, vals: jax.Array, n_rows: int) -> jax.Array:
     MNESLAM_SCATTER_IMPL=pallas|xla.
 
     Measured on v5e (tools/prof_pallas_scatter.py, K=200 direct timing,
-    fp32 width 128): fine table (160801 rows) Pallas 0.449 vs XLA 0.727 ms
-    at nu=11.5k (the 8-shard row-sharded mapper shape) and 0.371 vs 0.439
-    at nu=5.8k (16 shards); XLA wins at nu=23k (0.656 vs 0.414), on the
-    coarse table (40401 rows: 0.342 vs 0.262), and at single-chip nu=92k.
-    bf16 variants fail to compile on the remote toolchain — fp32 only."""
+    width 128): fine table (160801 rows) Pallas 0.449 vs XLA 0.727 ms at
+    nu=11.5k fp32 (the 8-shard row-sharded mapper shape), 0.431 vs 0.716
+    bf16, and 0.371/0.346 vs 0.439/0.424 at 16 shards; XLA wins at
+    nu=23k (0.656 vs 0.414), on the coarse table (40401 rows: 0.342 vs
+    0.262), and at single-chip nu=92k. A bf16 RMW kernel never compiles
+    on this toolchain (persistent, not flaky) — bf16 inputs accumulate
+    through the fp32 kernel with casts at the edges, which is also
+    numerically tighter than a bf16 accumulation."""
     import os
 
     nu, width = vals.shape
@@ -346,12 +358,18 @@ def scatter_add_rows(idx: jax.Array, vals: jax.Array, n_rows: int) -> jax.Array:
     if impl is None:
         use_pallas = (
             jax.default_backend() not in ("cpu",)
-            and vals.dtype == jnp.float32
+            and vals.dtype in (jnp.float32, jnp.bfloat16)
             and n_rows >= 100_000
             and nu <= 16_000
             and width % 128 == 0
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        return scatter_add_rows_pallas(idx, vals, n_rows)
+        interpret = jax.default_backend() == "cpu"  # env-forced CPU testing
+        if vals.dtype == jnp.bfloat16:
+            return scatter_add_rows_pallas(
+                idx, vals.astype(jnp.float32), n_rows,
+                interpret=interpret).astype(jnp.bfloat16)
+        return scatter_add_rows_pallas(idx, vals, n_rows,
+                                       interpret=interpret)
     return jnp.zeros((n_rows, width), vals.dtype).at[idx].add(vals)

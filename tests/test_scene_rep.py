@@ -108,6 +108,34 @@ def test_pallas_scatter_add_rows_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_scatter_dispatcher_pallas_paths(monkeypatch):
+    """MNESLAM_SCATTER_IMPL=pallas drives the dispatcher's kernel branch
+    (interpret mode on CPU): fp32 direct, bf16 via fp32 accumulation with
+    casts at the edges (the bf16 RMW kernel never compiles on TPU)."""
+    from mneslam_tpu.ops import pallas_kernels
+
+    monkeypatch.setenv("MNESLAM_SCATTER_IMPL", "pallas")
+    rng = np.random.default_rng(1)
+    n_rows, nu, width = 301, 128, 128
+    idx = jnp.asarray(rng.integers(0, n_rows, nu), jnp.int32)
+    vals32 = jnp.asarray(rng.standard_normal((nu, width)), jnp.float32)
+
+    ref32 = jnp.zeros((n_rows, width), jnp.float32).at[idx].add(vals32)
+    got32 = pallas_kernels.scatter_add_rows(idx, vals32, n_rows)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(ref32),
+                               atol=1e-5)
+
+    vals16 = vals32.astype(jnp.bfloat16)
+    got16 = pallas_kernels.scatter_add_rows(idx, vals16, n_rows)
+    assert got16.dtype == jnp.bfloat16
+    # fp32 accumulation of the bf16 values, rounded once at the end
+    ref16 = (jnp.zeros((n_rows, width), jnp.float32)
+             .at[idx].add(vals16.astype(jnp.float32))).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(ref16, np.float32),
+        atol=1e-6)
+
+
 def test_pack_corners_hwc_and_rows_fold():
     """The row-sharded mapper's raw-rows collective seam primitives
     (parallel/mesh.make_row_sharded_pack): `pack_corners_hwc` ==

@@ -71,6 +71,12 @@ def main():
                     "best-closure-wins, the measured default) or "
                     "'reference' (apply every closure as the reference "
                     "does, mp_slam/mapper.py:417-489 — for A/B parity)")
+    ap.add_argument("--map_aligned", action="store_true",
+                    help="loop_closure.map_aligned: feed the deformed "
+                    "trajectory back into the agent's OWN map (the "
+                    "reference's aligned_poses_c2w consumption, "
+                    "mp_slam/mapper.py:193-198); the report then adds "
+                    "map_kf_err_m, the private map's keyframe-pose error")
     args = ap.parse_args()
     H, W = (int(x) for x in args.hw.split(","))
     fx = W / 2.0
@@ -118,7 +124,8 @@ def main():
                            "bound_1": [[-2.4, 2.4]] * 3},
             "loop_closure": {"pose_decay_sigma": 50.0,
                              "pose_decay_min_weight": 0.8,
-                             "mode": args.closure_mode},
+                             "mode": args.closure_mode,
+                             "map_aligned": args.map_aligned},
         })
 
     full = SyntheticBoxDataset(agent_cfg(), num_frames=args.frames)
@@ -173,6 +180,13 @@ def main():
             np.linalg.norm(biased_pos - true_pos, axis=1).mean()), 4)
         report["kf_err_after_closure_m"] = round(float(
             np.linalg.norm(aligned_pos - true_pos, axis=1).mean()), 4)
+        # the PRIVATE map's keyframe poses: with map_aligned they carry
+        # the closure correction (=> ~kf_err_after_closure); without, the
+        # map stays in the biased tracker world (=> ~kf_err_biased_control)
+        map_pos = np.asarray(a1.map_state.kf_poses[:n])[:, :3, 3]
+        report["map_aligned"] = args.map_aligned
+        report["map_kf_err_m"] = round(float(
+            np.linalg.norm(map_pos - true_pos, axis=1).mean()), 4)
     print(json.dumps(report, indent=1))
 
 

@@ -162,6 +162,12 @@ def main():
         variants = [("xla", xla_scatter),
                     ("pallasU8", make_pallas_scatter(n_rows, nu, width, dtype,
                                                      unroll=8))]
+        if bf16:
+            # bf16 RMW never compiles; accumulate in fp32, cast at the edges
+            f32k = make_pallas_scatter(n_rows, nu, width, jnp.float32,
+                                       unroll=8)
+            variants.append(("pallasF32acc", lambda i, v: f32k(
+                i, v.astype(jnp.float32)).astype(jnp.bfloat16)))
 
         for name, fn in variants:
             full = f"{tag}/{name}"
