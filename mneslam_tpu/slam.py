@@ -158,6 +158,13 @@ class MNESLAM:
         # reference's aligned_poses_c2w feedback into mapping
         # (mp_slam/mapper.py:193-198)
         self._aligned_kf_override = None
+        # raw (tracker-world) keyframe poses, maintained only while the
+        # override is active: the collab layer's closure math MUST consume
+        # raw poses — its stored relative transform was measured against
+        # the unaligned tracker pose, so feeding it already-aligned poses
+        # re-applies the correction every keyframe (measured divergence:
+        # 0.18 m bias compounded to 5.1 m over 30 keyframes, BASELINE r4)
+        self._raw_kf_poses = None
 
         # slam_step cursor state (multi-agent interleaving advances agents
         # one motion-filter batch at a time through slam_step)
@@ -224,6 +231,12 @@ class MNESLAM:
                 self.tracker.state.poses_gt[0],
             )
             self.map_state = self.map_state._replace(kf_poses=new_poses)
+            if self._aligned_kf_override is not None:
+                # keep the raw tracker-world poses retrievable: every
+                # mapped keyframe has a tracker slot (the mapper lags
+                # tracking by >= 1 keyframe), so new_poses[:k] is fully
+                # tracker-refreshed, pre-override
+                self._raw_kf_poses = np.asarray(new_poses[:k])
         self._apply_aligned_override()
 
     def set_aligned_kf_poses(self, timestamps, poses_c2w):
@@ -231,12 +244,30 @@ class MNESLAM:
         closure-deformed trajectory, to be mapped against from now on (the
         reference's aligned_poses_c2w consumption, mp_slam/mapper.py:193-198).
         Stored and applied immediately; re-applied after every tracker pose
-        refresh so aligned poses always win for matching keyframe slots."""
+        refresh so aligned poses always win for matching keyframe slots.
+        The pre-override (tracker-world) poses stay retrievable through
+        `kf_poses_raw` — the closure math's required input."""
+        if self._aligned_kf_override is None and self.mapped_timestamps:
+            n = min(len(self.mapped_timestamps),
+                    self.map_state.kf_poses.shape[0])
+            self._raw_kf_poses = np.array(self.map_state.kf_poses[:n])
         self._aligned_kf_override = (
             np.asarray(timestamps, np.float64).ravel(),
             np.asarray(poses_c2w, np.float32),
         )
         self._apply_aligned_override()
+
+    def kf_poses_raw(self, n: int) -> np.ndarray:
+        """Tracker-world poses for mapped keyframe slots [0, n) — identical
+        to `map_state.kf_poses[:n]` unless `loop_closure.map_aligned` has
+        overridden the map slots, in which case the maintained raw history
+        is returned instead."""
+        if self._aligned_kf_override is None or self._raw_kf_poses is None:
+            return np.asarray(self.map_state.kf_poses[:n])
+        out = np.array(self.map_state.kf_poses[:n])
+        m = min(len(out), len(self._raw_kf_poses))
+        out[:m] = self._raw_kf_poses[:m]
+        return out
 
     def _apply_aligned_override(self):
         if self._aligned_kf_override is None or not self.mapped_timestamps:
@@ -287,6 +318,13 @@ class MNESLAM:
         mp_slam/mapper.py:224-229). Used by both the sequential path and
         the mesh fleet's sharded super-step."""
         self.mapped_timestamps.append(float(frame_idx))
+        if self._aligned_kf_override is not None and \
+                self._raw_kf_poses is not None:
+            # extend the raw-pose history with this keyframe's tracker-
+            # world pose (pose_c2w is always raw — it comes from the
+            # tracker/dataset, never from the overridden map slots)
+            self._raw_kf_poses = np.concatenate(
+                [self._raw_kf_poses, np.asarray(pose_c2w)[None]])
         # Pipelined metric readback (VERDICT r3 next #3): the new entry
         # keeps its DEVICE scalars; the host float conversion + the
         # metrics.jsonl write happen one keyframe LATE, while this
@@ -323,7 +361,13 @@ class MNESLAM:
         if self.collab is not None:
             n = min(len(self.mapped_timestamps), self.map_state.kf_poses.shape[0])
             kf_ts = np.asarray(self.mapped_timestamps[:n], float)
-            kf_poses = np.asarray(self.map_state.kf_poses[:n])
+            # the collab layer's closure math consumes RAW tracker-world
+            # poses: its stored relative transform was measured against
+            # the unaligned pose, so under loop_closure.map_aligned the
+            # overridden map slots must NOT feed back (re-applying the
+            # correction per keyframe compounded 0.18 m to 5.1 m over 30
+            # keyframes in the round-4 on-chip eval)
+            kf_poses = self.kf_poses_raw(n)
             self.collab.on_keyframe_mapped(
                 frame_idx, self.dataset[frame_idx]["rgb"],
                 np.asarray(pose_c2w), kf_poses, kf_ts,

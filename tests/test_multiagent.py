@@ -319,7 +319,7 @@ def test_set_aligned_kf_poses_overrides_map_slots(tmp_path):
     from mneslam_tpu.slam import MNESLAM
 
     cfg = tiny_cfg(tmp_path)
-    ds = SyntheticBoxDataset(cfg, num_frames=7)
+    ds = SyntheticBoxDataset(cfg, num_frames=8)  # num_kf=5: one free slot
     slam = MNESLAM(cfg, ds, rank=0)
     slam.run_mapping_only(log_every=100)  # keyframe_every=2: frames 0,2,4,6
     assert slam.mapped_timestamps[:3] == [0.0, 2.0, 4.0]
@@ -342,6 +342,21 @@ def test_set_aligned_kf_poses_overrides_map_slots(tmp_path):
     again = np.asarray(slam.map_state.kf_poses)
     np.testing.assert_allclose(again[0], aligned[0], atol=1e-6)
     np.testing.assert_allclose(again[2], aligned[1], atol=1e-6)
+
+    # the RAW (tracker-world) poses stay retrievable — the collab layer's
+    # closure math consumes these, never the overridden slots (feeding the
+    # aligned poses back re-applies the correction every keyframe:
+    # 0.18 m bias compounded to 5.1 m over 30 kfs in the r4 on-chip eval)
+    n = len(slam.mapped_timestamps)
+    raw = slam.kf_poses_raw(n)
+    np.testing.assert_allclose(raw, before[:n], atol=1e-6)
+
+    # newly mapped keyframes extend the raw history with their raw pose
+    frame7 = ds[7]
+    slam._map_keyframe(7, jnp.asarray(frame7["c2w"]), first=False)
+    raw2 = slam.kf_poses_raw(len(slam.mapped_timestamps))
+    np.testing.assert_allclose(raw2[-1], np.asarray(frame7["c2w"]), atol=1e-6)
+    np.testing.assert_allclose(raw2[:n], before[:n], atol=1e-6)
 
 
 @pytest.mark.slow

@@ -88,9 +88,12 @@ def make_sample_variant(mode):
             if mode == "noscatter":
                 d_packed = jnp.zeros((n_rows, 4 * C), vals.dtype)
                 d_packed = d_packed.at[:vals.shape[0]].set(vals)
-            else:  # "full"
+            elif mode == "xla_scatter":
                 d_packed = jnp.zeros(
                     (n_rows, 4 * C), vals.dtype).at[idx].add(vals)
+            else:  # "full" — the production dispatcher (Pallas since r4)
+                from mneslam_tpu.ops import pallas_kernels
+                d_packed = pallas_kernels.scatter_add_rows(idx, vals, n_rows)
         # coordinate cotangent kept in every mode (small, always live)
         g00, g01, g10, g11 = (g[:, i * C:(i + 1) * C] for i in range(4))
         gx = (g01 - g00) * (1 - wy)[:, None] + (g11 - g10) * wy[:, None]
@@ -259,6 +262,7 @@ def main():
 
     probes = [
         ("full", dict()),
+        ("xla_scatter", dict(sample_mode="xla_scatter")),
         ("fwd", dict(fwd_only=True)),
         ("nograd_planes", dict(stop_planes=True)),
         ("novals", dict(sample_mode="novals")),
