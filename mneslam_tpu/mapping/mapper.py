@@ -212,7 +212,11 @@ class Mapper:
         (`parallel/fleet.make_fleet_super_step_row_sharded`)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        shard = NamedSharding(self.mesh, P(self._stack_axes, self.shard_axes))
+        # empty axis tuples are not a valid PartitionSpec entry — map them
+        # to None (replicated); a row-sharded mapper whose shard_axes cover
+        # all mesh axes has no stack axes (ADVICE r4 #5)
+        shard = NamedSharding(self.mesh, P(self._stack_axes or None,
+                                           self.shard_axes or None))
 
         def f(path, leaf):
             addr = self._plane_leaf_addr(path)
@@ -412,6 +416,12 @@ class Mapper:
         tr = self.config["training"]
         smooth_w = float(tr.get("smooth_weight", 0.0))
         prefetch = int(self.config["mapping"].get("shard_prefetch", 0))
+        gather_every = max(1, int(self.config["mapping"].get(
+            "shard_gather_every", 1)))
+        if prefetch != 0 and gather_every > 1:
+            raise ValueError(
+                "mapping.shard_gather_every composes with the sync seam "
+                "only (shard_prefetch must be 0)")
 
         def body(params, opt_state, db, kf_poses, dirf, rgbf, df, pose, key):
             dev = jnp.zeros((), jnp.int32)
@@ -496,6 +506,50 @@ class Mapper:
             # sync seam on one chip; they could only win if real multi-chip
             # ICI latency exceeds the ~1.1 ms/iter structure tax, which the
             # payload math says it does not (BASELINE.md round 4).
+            # `mapping.shard_gather_every` = k (round 5, VERDICT r4 next
+            # #1): amortize the dominant per-iteration collective — the
+            # packed-table all-gather (~270 MB fp32 / ~135 bf16 at
+            # reference shapes) — by hoisting ONE pack + all-gather out of
+            # every k-iteration inner loop and rendering those k
+            # iterations against the same loop-INVARIANT table. Gradients
+            # still reduce-scatter and Adam still applies EVERY iteration
+            # (only the forward's table view goes up-to-(k-1)-stale; the
+            # params themselves advance each step). Unlike the
+            # measured-rejected H/P prefetch variants, the tables are NOT
+            # carried through a fori_loop — they are closure invariants of
+            # the inner loop, so XLA hoists them without the +0.6-1.1
+            # ms/iter carry structure tax. k=1 == the sync seam exactly
+            # (fresh table, consume(x, gather(x)) == f(x)).
+            if prefetch == 0 and gather_every > 1:
+                def run_block(base, count, carry):
+                    # `tables` enters the inner fori_loop as a CLOSURE
+                    # invariant (hoisted once), not as loop carry — the
+                    # carried-table H/P variants paid +0.6-1.1 ms/iter of
+                    # structure tax for exactly that carry
+                    tables = self._gather_plane_tables(carry[0])
+
+                    def inner(j, c):
+                        params, opt_state, _ = c
+                        grads, metrics = grads_and_metrics(
+                            base + j, params, tables)
+                        updates, opt_state = self.optimizer.update(
+                            grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return params, opt_state, metrics
+
+                    return jax.lax.fori_loop(0, count, inner, carry)
+
+                n_outer, rem = divmod(iters, gather_every)
+
+                def outer(o, carry):
+                    return run_block(o * gather_every, gather_every, carry)
+
+                carry = jax.lax.fori_loop(
+                    0, n_outer, outer, (params, opt_state, zero_metrics))
+                if rem:
+                    carry = run_block(n_outer * gather_every, rem, carry)
+                return carry
+
             if prefetch == 0:
                 def step(i, carry):
                     params, opt_state, _ = carry

@@ -308,7 +308,13 @@ def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
     """`jnp.zeros((n_rows, width), vals.dtype).at[idx].add(vals)` as a
     single-block Pallas kernel with the whole output table VMEM-resident
     (v5e VMEM fits the 82 MB fine packed-plane cotangent; probed up to
-    120 MB). idx [nu] int32 in [0, n_rows); vals [nu, width]."""
+    120 MB). idx [nu] int32 in [0, n_rows); vals [nu, width].
+
+    PRECONDITION: every idx must be in [0, n_rows). Unlike XLA's
+    `.at[idx].add` (which DROPS out-of-range updates), the kernel's pl.ds
+    CLAMPS — a negative index would corrupt row 0 and idx >= the padded
+    row count would pile onto the last pad row. All production callers
+    (ops/interp.py sampler VJPs) clip indices in-range before calling."""
     nu, width = vals.shape
     padded = -(-n_rows // 8) * 8  # sublane multiple
     kernel = functools.partial(_scatter_rows_kernel, nu=nu, unroll=8)
@@ -340,7 +346,16 @@ def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
 def scatter_add_rows(idx: jax.Array, vals: jax.Array, n_rows: int) -> jax.Array:
     """Dispatching `zeros.at[idx].add(vals)`: Pallas serial-accumulate where
     it measured faster, XLA's scatter otherwise. Override with
-    MNESLAM_SCATTER_IMPL=pallas|xla.
+    MNESLAM_SCATTER_IMPL=pallas|xla. Requires idx in [0, n_rows) (see
+    scatter_add_rows_pallas; the XLA path drops OOB updates, the Pallas
+    path clamps them).
+
+    MNESLAM_SCATTER_IMPL=pallas is a single-device/shard_map override
+    only: the heuristic's range gates are also what keeps pallas_call out
+    of GSPMD-partitioned (pjit ray-sharded) and vmapped (agent-stacked
+    fleet) contexts, where a scalar-prefetch pallas_call may fail to
+    partition/batch or silently replicate the table per device. Do not
+    force it globally in those deployments.
 
     Measured on v5e (tools/prof_pallas_scatter.py, K=200 direct timing,
     width 128): fine table (160801 rows) Pallas 0.449 vs XLA 0.727 ms at

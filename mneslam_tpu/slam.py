@@ -46,11 +46,15 @@ def _refresh_kf_poses_batched(
     video_state,              # full tracker VideoState (static buffer)
     counter: jax.Array,       # tracked keyframe count (dynamic scalar)
     first_gt: jax.Array,      # [4, 4] world-alignment anchor
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """One batched timestamp-match + gather replacing the per-slot host
     loop (VERDICT r2 weak #6): all mapper slots refresh in ONE dispatch
     whose cost is independent of the keyframe count. Slots whose timestamp
-    has no live tracker row (e.g. culled keyframes) keep their pose."""
+    has no live tracker row (e.g. culled keyframes) keep their pose.
+
+    Also returns the per-slot refresh `hit` mask: slots that MISSED keep a
+    possibly-overridden (aligned) pose, so the raw-pose history maintained
+    for `kf_poses_raw` must not take those slots from this output."""
     T = video_state.poses.shape[0]
     all_poses = video_lib.get_poses_c2w(video_state, T, first_gt=first_gt)
     live = jnp.arange(T) < counter                              # [T]
@@ -58,7 +62,7 @@ def _refresh_kf_poses_batched(
         & live[None, :] & (mapped_ts >= 0.0)[:, None]           # [K, T]
     hit = m.any(axis=1)
     row = jnp.argmax(m, axis=1)
-    return jnp.where(hit[:, None, None], all_poses[row], kf_poses)
+    return jnp.where(hit[:, None, None], all_poses[row], kf_poses), hit
 
 
 class MNESLAM:
@@ -225,18 +229,28 @@ class MNESLAM:
             k = min(len(self.mapped_timestamps), num_kf)
             if k:
                 mts[:k] = self.mapped_timestamps[:k]
-            new_poses = _refresh_kf_poses_batched(
+            new_poses, hit = _refresh_kf_poses_batched(
                 self.map_state.kf_poses, jnp.asarray(mts), self.tracker.state,
                 jnp.asarray(self.tracker.counter, jnp.int32),
                 self.tracker.state.poses_gt[0],
             )
             self.map_state = self.map_state._replace(kf_poses=new_poses)
             if self._aligned_kf_override is not None:
-                # keep the raw tracker-world poses retrievable: every
-                # mapped keyframe has a tracker slot (the mapper lags
-                # tracking by >= 1 keyframe), so new_poses[:k] is fully
-                # tracker-refreshed, pre-override
-                self._raw_kf_poses = np.asarray(new_poses[:k])
+                # keep the raw tracker-world poses retrievable. A refresh
+                # HIT is a fresh tracker pose (pre-override by
+                # construction); a MISS kept the existing slot value, which
+                # may already be an aligned override — for misses keep the
+                # previous raw history instead, so an override can never
+                # leak into the "raw" trajectory even if the
+                # never-cull-a-mapped-keyframe invariant is violated
+                # (ADVICE r4 #2).
+                raw = np.array(new_poses[:k])
+                hit_np = np.asarray(hit[:k])
+                if self._raw_kf_poses is not None:
+                    m_prev = min(k, len(self._raw_kf_poses))
+                    miss = ~hit_np[:m_prev]
+                    raw[:m_prev][miss] = self._raw_kf_poses[:m_prev][miss]
+                self._raw_kf_poses = raw
         self._apply_aligned_override()
 
     def set_aligned_kf_poses(self, timestamps, poses_c2w):
@@ -247,10 +261,15 @@ class MNESLAM:
         refresh so aligned poses always win for matching keyframe slots.
         The pre-override (tracker-world) poses stay retrievable through
         `kf_poses_raw` — the closure math's required input."""
-        if self._aligned_kf_override is None and self.mapped_timestamps:
+        if self._aligned_kf_override is None and self._raw_kf_poses is None:
+            # seed the raw history even when no keyframe is mapped yet
+            # (mapping-only mode has no tracker refresh to initialize it;
+            # ADVICE r4 #1) — the per-keyframe append in
+            # _post_map_bookkeeping grows it from here
             n = min(len(self.mapped_timestamps),
                     self.map_state.kf_poses.shape[0])
-            self._raw_kf_poses = np.array(self.map_state.kf_poses[:n])
+            self._raw_kf_poses = (np.array(self.map_state.kf_poses[:n])
+                                  if n else np.zeros((0, 4, 4), np.float32))
         self._aligned_kf_override = (
             np.asarray(timestamps, np.float64).ravel(),
             np.asarray(poses_c2w, np.float32),

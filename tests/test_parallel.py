@@ -312,6 +312,76 @@ def test_row_sharded_prefetch_converges():
     assert losses[2] < 5.0 * losses[0] + 1e-6, losses
 
 
+def _gather_every_cfg(gather_every, sample=64):
+    return make_config({
+        "mapping": {"bound": [[-1.75, 1.75]] * 3,
+                    "marching_cubes_bound": [[-1.75, 1.75]] * 3,
+                    "sample": sample, "min_pixels_cur": sample // 4,
+                    "shard_gather_every": gather_every},
+        "planes_res": {"coarse": 0.5, "fine": 0.25, "bound_dividable": 0.5},
+        "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                "cy": 11.5, "near": 0.0, "far": 5.0},
+        "training": {"n_range_d": 7, "n_samples_d": 4, "range_d": 0.2},
+        "model": {"c_dim": 8, "input_ch": 16, "input_ch_pos": 48},
+    })
+
+
+def _gather_every_run(cfg, devs, iters):
+    from mneslam_tpu.data.synthetic import SyntheticBoxDataset
+    from mneslam_tpu.mapping.mapper import Mapper
+
+    scene = SceneRep(cfg)
+    ds = SyntheticBoxDataset(cfg, num_frames=2, half=1.6)
+    frame = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "frame_id"}
+    pose = jnp.asarray(ds[0]["c2w"])
+    mapper = Mapper(cfg, scene, num_kf=4, rays_per_kf=ds.num_rays_to_save,
+                    mesh=pmesh.make_mesh(1, devices=devs),
+                    shard_plane_rows=True)
+    st = mapper.init_state(jax.random.PRNGKey(2))
+    st = mapper.add_keyframe(st, jnp.asarray(0), frame, pose,
+                             jax.random.PRNGKey(3))
+    return mapper.optimize(st, frame, pose, jax.random.PRNGKey(4),
+                           iters=iters)
+
+
+def test_row_sharded_gather_every_fresh_block_exact():
+    """`mapping.shard_gather_every` (k-stale loop-invariant tables, round
+    5): every k-block's FIRST iteration consumes a table gathered from the
+    current params, so a 1-iteration run through the k-stale branch is
+    bitwise equal to the synchronous seam (consume(x, gather(x)) == f(x))."""
+    assert len(jax.devices()) >= 8
+    outs = []
+    for ge in (4, 1):  # 4 -> k-stale branch (remainder path); 1 -> sync
+        st, met = _gather_every_run(_gather_every_cfg(ge), jax.devices(), 1)
+        outs.append((st, met))
+    np.testing.assert_allclose(float(outs[0][1]["loss"]),
+                               float(outs[1][1]["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][0].params),
+                    jax.tree.leaves(outs[1][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_row_sharded_gather_every_sharding_exact():
+    """The k-stale program's collective decomposition is exact: 8-device ==
+    1-device (identity collectives) leaf for leaf, at an iteration count
+    that exercises both whole k-blocks and the remainder block (iters=5,
+    k=2). Staleness semantics are shared by construction; convergence is
+    also pinned (the run still optimizes)."""
+    assert len(jax.devices()) >= 8
+    cfg = _gather_every_cfg(2)
+    (st_1, met_1) = _gather_every_run(cfg, jax.devices()[:1], 5)
+    (st_8, met_8) = _gather_every_run(cfg, jax.devices(), 5)
+    np.testing.assert_allclose(float(met_8["loss"]), float(met_1["loss"]),
+                               rtol=1e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(st_8.params)[0],
+            jax.tree.leaves(st_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5,
+            err_msg=jax.tree_util.keystr(path))
+    assert np.isfinite(float(met_8["loss"]))
+
+
 def test_shard_plane_rows_config_knob(tmp_path):
     """`mapping.shard_plane_rows: true` routes MNESLAM's mapper through the
     row-sharded optimizer over all local devices; the mapping-only pipeline

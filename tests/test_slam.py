@@ -244,16 +244,19 @@ def test_batched_pose_refresh_matches_per_slot_loop():
     # slot 3 has ts=99 (no tracker row); slot 5 matches a row >= counter
     mapped_ts = jnp.asarray([0.0, 5.0, 9.0, 99.0, 13.0, 0.0])
 
-    out = _refresh_kf_poses_batched(kf_poses, mapped_ts, state,
-                                    jnp.asarray(counter), first_gt)
+    out, hit = _refresh_kf_poses_batched(kf_poses, mapped_ts, state,
+                                         jnp.asarray(counter), first_gt)
 
     all_poses = video_lib.get_poses_c2w(state, T, first_gt=first_gt)
     expected = np.array(kf_poses)
+    expected_hit = np.zeros(K, bool)
     kf_np = np.asarray(ts[:counter])
     for slot, t in enumerate(np.asarray(mapped_ts)):
         hits = np.nonzero(kf_np == t)[0]
         if len(hits):
             expected[slot] = np.asarray(all_poses[int(hits[0])])
+            expected_hit[slot] = True
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hit), expected_hit)
     # the no-match slot kept its sentinel
     np.testing.assert_allclose(np.asarray(out[3]), np.asarray(kf_poses[3]))
