@@ -71,14 +71,28 @@ def main():
     d.block_until_ready()
 
     # median over per-rep timings: the remote-TPU dispatch path has
-    # occasional multi-ms tunnel hiccups that a single mean absorbs
-    times = []
-    for _ in range(args.reps * 2):
-        t0 = time.perf_counter()
-        _, d = encode_and_flow(params, fmap, net, inp, img)
-        np.asarray(d)  # fetch-sync (see frontend note below)
-        times.append(time.perf_counter() - t0)
-    per_frame_b1 = float(np.median(times))
+    # occasional multi-ms tunnel hiccups that a single mean absorbs.
+    # Every tracking number additionally reports min/max across N_ROUNDS
+    # independent rounds (VERDICT r4 next #3: BENCH_r04's 161 FPS vs the
+    # session's 176 was a one-shot artifact with no variance bar — a
+    # driver artifact must not be able to sit 10% below the README
+    # silently).
+    N_ROUNDS = 3
+
+    def rounds(measure_once):
+        vals = [measure_once() for _ in range(N_ROUNDS)]
+        return float(np.median(vals)), float(min(vals)), float(max(vals))
+
+    def _b1_round():
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            _, d = encode_and_flow(params, fmap, net, inp, img)
+            np.asarray(d)  # fetch-sync (see frontend note below)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    per_frame_b1, per_frame_b1_min, per_frame_b1_max = rounds(_b1_round)
 
     # production path (tracking.motion_filter.batch, default 8): the whole
     # admit-and-append loop runs on device as a lax.scan with ONE readback
@@ -99,15 +113,19 @@ def main():
                            zctx, zctx, imgs_b, deps_b, ts_b, gts_b,
                            jnp.asarray(1e9))
     jax.block_until_ready(out[1])
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        out = track_batch_step(params, vstate, jnp.asarray(1, jnp.int32),
-                               fmap, zctx, zctx, imgs_b, deps_b, ts_b, gts_b,
-                               jnp.asarray(1e9))
-        np.asarray(out[5])  # the one per-batch readback (admit flags)
-        times.append(time.perf_counter() - t0)
-    per_frame = float(np.median(times)) / MB
+
+    def _batch_round():
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = track_batch_step(params, vstate, jnp.asarray(1, jnp.int32),
+                                   fmap, zctx, zctx, imgs_b, deps_b, ts_b,
+                                   gts_b, jnp.asarray(1e9))
+            np.asarray(out[5])  # the one per-batch readback (admit flags)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / MB
+
+    per_frame, per_frame_min, per_frame_max = rounds(_batch_round)
     track_fps = 1.0 / per_frame
 
     # frontend update step (the per-keyframe cost): window of edges
@@ -133,11 +151,16 @@ def main():
     # one fetch at the end so the ~30 ms tunnel RTT amortizes instead of
     # being billed per call (CLAUDE.md timing protocol).
     n_up = max(args.reps, 8)
-    t0 = time.perf_counter()
-    for _ in range(n_up):
-        state = graph.update(state, t0=1, t1=n_kf, iters=2)
-    np.asarray(state.poses[0])
-    per_update = (time.perf_counter() - t0) / n_up
+
+    def _update_round():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n_up):
+            state = graph.update(state, t0=1, t1=n_kf, iters=2)
+        np.asarray(state.poses[0])
+        return (time.perf_counter() - t0) / n_up
+
+    per_update, per_update_min, per_update_max = rounds(_update_round)
 
     # ---- mapping ----
     ds = SyntheticBoxDataset(cfg, num_frames=4, half=bound * 0.9)
@@ -353,6 +376,22 @@ def main():
         fleet["per_agent_kf_hz_sharded"] = round(
             1e3 / fleet["super_step_ms_1agent"], 2)
 
+        # composed agent x rows mode (the actual v5e-8 2-agent deployment,
+        # parallel/fleet.make_fleet_super_step_row_sharded): per-device
+        # program = 4-shard row-sharded step + add_keyframe packing +
+        # valid-mask select, executed exactly on this one chip
+        # (tools/rowshard_step.build_composed_superstep). Compute-only;
+        # ICI stays analytic (tools/projection.py).
+        import os
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from rowshard_step import measure_composed_ms_kf
+
+        ms_c = measure_composed_ms_kf(4, iters=iters)
+        fleet["composed_ms_kf_4shard"] = round(ms_c, 1)
+        fleet["composed_per_agent_kf_hz_compute"] = round(1e3 / ms_c, 2)
+
     # ---- row-sharded mapper per-device step (the >5 Hz north-star) ----
     # Single-chip execution of the v5e-8 per-device program (local ray
     # shard + local plane rows; collectives replaced by their local
@@ -392,7 +431,11 @@ def main():
             "quick": args.quick,
             "slam_fps": round(slam_fps, 2),
             "slam_admission_rate": f"1/{admission}",
+            "track_fps_minmax": [round(1.0 / per_frame_max, 2),
+                                 round(1.0 / per_frame_min, 2)],
             "frontend_update_ms": round(per_update * 1e3, 1),
+            "frontend_update_ms_minmax": [round(per_update_min * 1e3, 1),
+                                          round(per_update_max * 1e3, 1)],
             "map_iters_per_s": round(map_iters_per_s, 1),
             "map_keyframe_hz": round(map_hz, 2),
             "map_iters_per_kf": iters,
@@ -401,6 +444,8 @@ def main():
             **({"map_keyframe_hz_bf16": round(bf16_hz, 2)} if bf16_hz else {}),
             "track_frame_ms": round(per_frame * 1e3, 1),
             "track_frame_ms_batch1": round(per_frame_b1 * 1e3, 1),
+            "track_frame_ms_batch1_minmax": [round(per_frame_b1_min * 1e3, 1),
+                                             round(per_frame_b1_max * 1e3, 1)],
             "track_batch": MB,
             "scannet_scale": scannet,
             "fleet": fleet,

@@ -65,6 +65,7 @@ class AgentCollaboration:
         # alignment then wrecks the whole exported trajectory)
         self.closure_relative: Optional[np.ndarray] = None
         self.closure_loss: float = float("inf")
+        self.closure_init_loss: float = float("inf")  # init loss at accept
         self.closure_loop_ts: float = -1.0
         self._foreign_scenes: Dict[int, SceneRep] = {}
 
@@ -219,6 +220,7 @@ class AgentCollaboration:
             if take:
                 self.closure_relative = np.asarray(relative)
                 self.closure_loss = best
+                self.closure_init_loss = init
                 self.closure_loop_ts = float(current_map_id)
                 print(f"[agent {slam.rank}] loop with agent {other}: "
                       f"accepted closure (loss {best:.5f}, init {init:.5f})")

@@ -304,7 +304,8 @@ def _scatter_rows_kernel(idx_ref, vals_ref, out_ref, *, nu: int, unroll: int):
 
 
 def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            unroll: int = 8) -> jax.Array:
     """`jnp.zeros((n_rows, width), vals.dtype).at[idx].add(vals)` as a
     single-block Pallas kernel with the whole output table VMEM-resident
     (v5e VMEM fits the 82 MB fine packed-plane cotangent; probed up to
@@ -317,7 +318,7 @@ def scatter_add_rows_pallas(idx: jax.Array, vals: jax.Array, n_rows: int,
     (ops/interp.py sampler VJPs) clip indices in-range before calling."""
     nu, width = vals.shape
     padded = -(-n_rows // 8) * 8  # sublane multiple
-    kernel = functools.partial(_scatter_rows_kernel, nu=nu, unroll=8)
+    kernel = functools.partial(_scatter_rows_kernel, nu=nu, unroll=unroll)
     try:
         # under shard_map the output must declare its varying mesh axes
         # (check_vma) — it varies exactly where the inputs do
@@ -360,12 +361,22 @@ def scatter_add_rows(idx: jax.Array, vals: jax.Array, n_rows: int) -> jax.Array:
     Measured on v5e (tools/prof_pallas_scatter.py, K=200 direct timing,
     width 128): fine table (160801 rows) Pallas 0.449 vs XLA 0.727 ms at
     nu=11.5k fp32 (the 8-shard row-sharded mapper shape), 0.431 vs 0.716
-    bf16, and 0.371/0.346 vs 0.439/0.424 at 16 shards; XLA wins at
-    nu=23k (0.656 vs 0.414), on the coarse table (40401 rows: 0.342 vs
-    0.262), and at single-chip nu=92k. A bf16 RMW kernel never compiles
-    on this toolchain (persistent, not flaky) — bf16 inputs accumulate
-    through the fp32 kernel with casts at the edges, which is also
-    numerically tighter than a bf16 accumulation."""
+    bf16, and 0.371/0.346 vs 0.439/0.424 at 16 shards; XLA wins on the
+    coarse table (40401 rows: 0.342 vs 0.262) and at single-chip nu=92k.
+    Round 5 (tools/prof_scatter_bucketed.py): a deeper unroll extends the
+    win to nu=23k — the 4-shard row-sharded shape — where unroll=32 is
+    0.395 vs XLA 0.411 (unroll=8 loses, 0.426), so the dispatcher uses
+    unroll 32 above 16k updates and cuts over to XLA past 24k. Row-range
+    BUCKETING of the kernel (grid over row blocks walking sorted update
+    ranges) was measured and REJECTED for the larger counts: the bucketed
+    walk itself wins at 92k (1.13 vs XLA 1.51) but only on PRE-SORTED
+    updates, and the required argsort+permute routing costs ~0.67 ms —
+    net 1.80 vs 1.51, a loss (VERDICT r4 next #2's ~4.5-vs-7.8 projection
+    had compared one plane's bucketed cost against the six-plane trace
+    total). A bf16 RMW kernel never compiles on this toolchain
+    (persistent, not flaky) — bf16 inputs accumulate through the fp32
+    kernel with casts at the edges, which is also numerically tighter
+    than a bf16 accumulation."""
     import os
 
     nu, width = vals.shape
@@ -375,16 +386,17 @@ def scatter_add_rows(idx: jax.Array, vals: jax.Array, n_rows: int) -> jax.Array:
             jax.default_backend() not in ("cpu",)
             and vals.dtype in (jnp.float32, jnp.bfloat16)
             and n_rows >= 100_000
-            and nu <= 16_000
+            and nu <= 24_000
             and width % 128 == 0
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         interpret = jax.default_backend() == "cpu"  # env-forced CPU testing
+        unroll = 32 if nu > 16_000 else 8
         if vals.dtype == jnp.bfloat16:
             return scatter_add_rows_pallas(
                 idx, vals.astype(jnp.float32), n_rows,
-                interpret=interpret).astype(jnp.bfloat16)
+                interpret=interpret, unroll=unroll).astype(jnp.bfloat16)
         return scatter_add_rows_pallas(idx, vals, n_rows,
-                                       interpret=interpret)
+                                       interpret=interpret, unroll=unroll)
     return jnp.zeros((n_rows, width), vals.dtype).at[idx].add(vals)

@@ -351,6 +351,16 @@ class MeshAgentFleet:
                 a.collab.on_keyframe_mapped(
                     idx, a.dataset[idx]["rgb"], np.asarray(poses[i]),
                     kf_poses, kf_ts)
+                # `loop_closure.map_aligned` may have overridden the
+                # agent-local view's kf_poses (set_aligned_kf_poses via
+                # _apply_closure) — fold that back into the stack so the
+                # NEXT super-step maps against the aligned trajectory
+                # (run_slam's _map_pending folds agent views per pass; this
+                # path previously dropped the override silently)
+                if getattr(a, "_aligned_kf_override", None) is not None:
+                    self.state = self.state._replace(
+                        kf_poses=self.state.kf_poses.at[i].set(
+                            a.map_state.kf_poses))
 
         self._final_fusion()
         return [a.metrics_log for a in self.agents]

@@ -126,6 +126,89 @@ def ba_step(
     return state
 
 
+@partial(jax.jit, static_argnames=("window", "iters", "motion_only",
+                                   "update_fn", "agg_fn", "chunk"))
+def update_chunked_step(
+    state: video_lib.VideoState,
+    params: Dict,
+    intrinsics: jax.Array,
+    ii: jax.Array,        # [cap] — cap is a multiple of `chunk`
+    jj: jax.Array,
+    mask: jax.Array,
+    net: jax.Array,       # [cap, 128, h, w]
+    target: jax.Array,    # [cap, h, w, 2]
+    ii_inac: jax.Array,
+    jj_inac: jax.Array,
+    mask_inac: jax.Array,
+    target_inac: jax.Array,
+    weight_inac: jax.Array,
+    t0: jax.Array,
+    t1: jax.Array,
+    n_chunks: jax.Array,  # dynamic: ceil(n_active / chunk)
+    window: int,
+    chunk: int,
+    iters: int = 2,
+    motion_only: bool = False,
+    lm: float = 1e-4,
+    ep: float = 0.1,
+    update_fn=None,
+    agg_fn=None,
+    pairs=None,
+):
+    """The memory-bounded tracker update (the reference's `update_lowmem`,
+    factor_graph.py:280-346) as ONE compiled program: a fori_loop over
+    fixed-size edge chunks (corr volume + GRU activations exist only at
+    chunk size) followed by one BA over the full edge table.
+
+    Semantics are identical to looping `gru_chunk_step` on the host and
+    calling `ba_step` (the round-4 structure;
+    tests/test_graph.py::test_update_chunked_megastep_matches_loop) — the
+    win is structural: the host loop paid per-chunk eager dispatch plus
+    three full-capacity `dynamic_update_slice` copies per chunk OUTSIDE
+    jit (~400 MB of copy traffic per chunk at ScanNet scale), which XLA
+    now keeps in-place inside the loop. Chunk 0 is traced inline (its
+    upmask is the one the caller keeps — the reference keeps the LAST
+    lowmem pass's upsample mask but only consumes it on the frontend path
+    where chunking is off; chunk 0 preserves the round-4 behavior);
+    chunks 1..n_chunks run under a dynamic-bound fori_loop so trailing
+    all-padding chunks cost nothing and n_active changes don't recompile.
+    """
+    def run_chunk(c, st, net, target, weight):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk,
+                                                    axis=0)
+        st, net_c, tgt_c, w_c, up_c = gru_chunk_step(
+            st, params, intrinsics, sl(ii), sl(jj), sl(mask), sl(net),
+            sl(target), update_fn=update_fn, agg_fn=agg_fn)
+        upd = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
+            a, v, c * chunk, axis=0)
+        return st, upd(net, net_c), upd(target, tgt_c), upd(weight, w_c), up_c
+
+    weight = jnp.zeros_like(target)
+    st, net, target, weight, upmask = run_chunk(
+        jnp.asarray(0, jnp.int32), state, net, target, weight)
+
+    def body(c, carry):
+        damping, net, target, weight = carry
+        st_c, net, target, weight, _ = run_chunk(
+            c, state._replace(damping=damping), net, target, weight)
+        return st_c.damping, net, target, weight
+
+    damping, net, target, weight = jax.lax.fori_loop(
+        1, n_chunks, body, (st.damping, net, target, weight))
+    state = state._replace(damping=damping)
+
+    state = ba_step(
+        state, intrinsics,
+        jnp.concatenate([ii, ii_inac]), jnp.concatenate([jj, jj_inac]),
+        jnp.concatenate([mask, mask_inac]),
+        jnp.concatenate([target, target_inac]),
+        jnp.concatenate([weight, weight_inac]),
+        t0, t1, window=window, iters=iters, motion_only=motion_only,
+        lm=lm, ep=ep, pairs=pairs,
+    )
+    return state, net, target, weight, upmask
+
+
 @partial(jax.jit, static_argnames=("window", "iters", "motion_only", "update_fn", "agg_fn"))
 def update_step(
     state: video_lib.VideoState,
@@ -453,35 +536,22 @@ class FactorGraph:
             pairs = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m, capacity=cap)
 
         if self.corr_chunk is not None and self.capacity > self.corr_chunk:
-            # ---- memory-bounded path: GRU in chunks, one BA over all ----
+            # ---- memory-bounded path: GRU in chunks, one BA over all,
+            # as ONE compiled program (round 5, VERDICT r4 next #6) ----
             S = self.corr_chunk
             n_chunks = max((self.n_active + S - 1) // S, 1)
-            for c in range(n_chunks):
-                sl = slice(c * S, (c + 1) * S)
-                st_c, net_c, tgt_c, w_c, up_c = gru_chunk_step(
+            state, self.net, self.target, self.weight, self._upmask = (
+                update_chunked_step(
                     state, self.params, self.intrinsics,
-                    ii[sl], jj[sl], mask[sl], self.net[sl], self.target[sl],
+                    ii, jj, mask, self.net, self.target,
+                    ii_i, jj_i, m_i, tgt_i, w_i,
+                    jnp.asarray(t0), jnp.asarray(t1),
+                    jnp.asarray(n_chunks, jnp.int32),
+                    window=self.window, chunk=S, iters=iters,
+                    motion_only=motion_only, lm=lm, ep=ep,
                     update_fn=self.update_fn, agg_fn=self.agg_fn,
-                )
-                state = st_c
-                self.net = jax.lax.dynamic_update_slice_in_dim(
-                    self.net, net_c, c * S, axis=0)
-                self.target = jax.lax.dynamic_update_slice_in_dim(
-                    self.target, tgt_c, c * S, axis=0)
-                self.weight = jax.lax.dynamic_update_slice_in_dim(
-                    self.weight, w_c, c * S, axis=0)
-                if c == 0:
-                    self._upmask = up_c
-            state = ba_step(
-                state, self.intrinsics,
-                jnp.concatenate([ii, ii_i]), jnp.concatenate([jj, jj_i]),
-                jnp.concatenate([mask, m_i]),
-                jnp.concatenate([self.target, tgt_i]),
-                jnp.concatenate([self.weight, w_i]),
-                jnp.asarray(t0), jnp.asarray(t1),
-                window=self.window, iters=iters, motion_only=motion_only,
-                lm=lm, ep=ep, pairs=pairs,
-            )
+                    pairs=pairs,
+                ))
         else:
             state, self.net, self.target, self.weight, self._upmask = update_step(
                 state, self.params, self.intrinsics,

@@ -102,6 +102,13 @@ def test_pallas_scatter_add_rows_matches_xla():
                                                      interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+        # the unroll-32 variant the dispatcher selects above 16k updates
+        # (round 5): same math, deeper manual unroll + remainder loop
+        got32 = pallas_kernels.scatter_add_rows_pallas(idx, vals, n_rows,
+                                                       interpret=True,
+                                                       unroll=32)
+        np.testing.assert_allclose(np.asarray(got32), np.asarray(ref),
+                                   atol=1e-5)
 
     # the dispatcher falls back to XLA on CPU (and under the env override)
     out = pallas_kernels.scatter_add_rows(idx, vals, n_rows)

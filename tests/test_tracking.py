@@ -14,6 +14,7 @@ import numpy as np
 
 from mneslam_tpu.models import droid_net
 from mneslam_tpu.ops import correlation, lie, projective
+from mneslam_tpu.tracking import graph as graph_lib
 from mneslam_tpu.tracking import video as video_lib
 from mneslam_tpu.tracking.graph import FactorGraph
 
@@ -424,6 +425,97 @@ def test_graph_update_lowmem_matches_monolithic():
 
     for a, b in zip(results["mono"], results["chunked"]):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_update_chunked_megastep_matches_loop():
+    """The single-program chunked update (graph.update_chunked_step, round
+    5) == the round-4 host structure (gru_chunk_step loop + ba_step),
+    including with a chunk-LOCAL agg fn (the real GraphAgg aggregates
+    within a lowmem pass — reference factor_graph.py:280-346 — so the
+    mono-vs-chunked test above cannot pin that grouping)."""
+    key = jax.random.PRNGKey(9)
+    n, buffer, chunk = 6, 8, 8
+
+    phi = 0.02 * jax.random.normal(key, (n, 3))
+    t = jnp.cumsum(0.05 * jax.random.normal(jax.random.fold_in(key, 1),
+                                            (n, 3)), axis=0)
+    gt_poses_n = jnp.concatenate([t, lie.so3_exp(phi)], -1).at[0].set(
+        lie.identity())
+    gt_poses = jnp.concatenate([gt_poses_n, lie.identity((buffer - n,))])
+    gt_disps = jnp.broadcast_to(
+        0.4 + 0.2 * jax.random.uniform(jax.random.fold_in(key, 2),
+                                       (1, HT, WD)), (buffer, HT, WD))
+    update_fn, _ = make_oracle(gt_poses, gt_disps, INTR)
+
+    def agg_fn(params, net, ii, mask, B):
+        # chunk-LOCAL: eta depends on the masked mean over THIS chunk's
+        # edges, so any chunk-boundary difference changes the damping
+        ht, wd = net.shape[2], net.shape[3]
+        m = mask.astype(net.dtype)
+        bias = (net.mean(axis=(1, 2, 3)) * m).sum() / (m.sum() + 1.0)
+        eta = (1e-4 + 1e-5 * bias) * jnp.ones((net.shape[0], ht, wd))
+        return eta, jnp.zeros((net.shape[0], 576, ht, wd))
+
+    def make_state():
+        state = video_lib.init_video(buffer, HT, WD)
+        state = state._replace(disps=gt_disps, disps_sens=gt_disps)
+        dxi = 0.04 * jax.random.normal(jax.random.fold_in(key, 3),
+                                       (buffer, 6)).at[0].set(0.0)
+        return state._replace(poses=lie.retr(gt_poses, dxi))
+
+    graph = FactorGraph(buffer, HT, WD, capacity=40, params={},
+                        intrinsics=INTR, window=8,
+                        update_fn=update_fn, agg_fn=agg_fn,
+                        corr_chunk=chunk)
+    state0 = make_state()
+    graph.add_neighborhood_factors(state0, 0, n, r=2)
+    ii, jj, mask = graph._padded_indices()
+    net0, target0 = graph.net, graph.target
+    S = chunk
+    n_chunks = (graph.n_active + S - 1) // S
+    ii_i = jnp.zeros(graph.cap_inac, jnp.int32)
+    jj_i = jnp.zeros(graph.cap_inac, jnp.int32)
+    m_i = jnp.zeros(graph.cap_inac, jnp.float32)
+    tgt_i, w_i = graph.target_inac, graph.weight_inac
+
+    # round-4 structure: host loop over gru_chunk_step, then one ba_step
+    state, net, target, weight = state0, net0, target0, jnp.zeros_like(
+        graph.weight)
+    upmask_loop = None
+    for c in range(n_chunks):
+        sl = slice(c * S, (c + 1) * S)
+        state, net_c, tgt_c, w_c, up_c = graph_lib.gru_chunk_step(
+            state, {}, INTR, ii[sl], jj[sl], mask[sl], net[sl], target[sl],
+            update_fn=update_fn, agg_fn=agg_fn)
+        net = net.at[sl].set(net_c)
+        target = target.at[sl].set(tgt_c)
+        weight = weight.at[sl].set(w_c)
+        if c == 0:
+            upmask_loop = up_c
+    state_loop = graph_lib.ba_step(
+        state, INTR, jnp.concatenate([ii, ii_i]), jnp.concatenate([jj, jj_i]),
+        jnp.concatenate([mask, m_i]), jnp.concatenate([target, tgt_i]),
+        jnp.concatenate([weight, w_i]), jnp.asarray(1), jnp.asarray(n),
+        window=8, iters=2, lm=1e-5, ep=1e-3)
+
+    state_mega, net_m, target_m, weight_m, upmask_m = (
+        graph_lib.update_chunked_step(
+            state0, {}, INTR, ii, jj, mask, net0, target0,
+            ii_i, jj_i, m_i, tgt_i, w_i, jnp.asarray(1), jnp.asarray(n),
+            jnp.asarray(n_chunks, jnp.int32), window=8, chunk=S, iters=2,
+            lm=1e-5, ep=1e-3, update_fn=update_fn, agg_fn=agg_fn))
+
+    np.testing.assert_allclose(np.asarray(state_mega.poses),
+                               np.asarray(state_loop.poses), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_mega.damping),
+                               np.asarray(state_loop.damping), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(net_m), np.asarray(net), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(target_m), np.asarray(target),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(weight_m), np.asarray(weight),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(upmask_m),
+                               np.asarray(upmask_loop), atol=1e-6)
 
 
 def test_alt_corr_pallas_mxu_variant_matches():

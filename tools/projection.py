@@ -18,8 +18,15 @@ to ~2x).  Hz columns:
                 by XLA's latency-hiding scheduler — upper bound)
   serialized  = 1000 / (iters * (ms_iter + ici))  (no overlap — lower bound)
 
+Round 5: `mapping.shard_gather_every` = k (k-stale loop-invariant
+tables, mapper._make_row_body) amortizes the FORWARD all-gather over k
+iterations while the gradient reduce-scatter still runs every
+iteration, so its ICI ms/iter = (1/k + 1) * (N-1)/N * packed_bytes/BW.
+Rows labeled `gN` derive from tools/prof_zero8.py's measured per-device
+ms/iter at that k (measurements/zero8/*.txt).
+
 Usage:
-  python tools/projection.py                  # read /tmp/zero6_*.txt JSONs
+  python tools/projection.py                  # read checked-in JSONs
   python tools/projection.py --ms 8:3.93 --ms 16:2.5 --dtype fp32
   python tools/projection.py --bw 200        # 2x-bandwidth column
 Host-only (CPU); runs in ~seconds.
@@ -84,7 +91,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
-    measured = {}  # (shards, dtype) -> ms/iter
+    measured = {}  # (shards, dtype, k_gather) -> ms/iter
     import os
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "measurements/zero6/*.txt")))
@@ -92,6 +99,9 @@ def main():
     paths += sorted(glob.glob(os.path.join(here,
                                            "measurements/zero6_pallas/*.txt")))
     paths += sorted(glob.glob("/tmp/zero6_*.txt"))  # fresher runs win
+    # round-5 k-stale runs (prof_zero8) carry S_sync + G2/G4/G8 and
+    # override the zero6 sync rows (same probe, fresher measurement)
+    paths += sorted(glob.glob(os.path.join(here, "measurements/zero8/*.txt")))
     for path in paths:
         try:
             line = open(path).read().strip().splitlines()[-1]
@@ -99,7 +109,12 @@ def main():
             if d.get("fast"):
                 continue  # fast-profile runs are a different sampling config
             dt = "bf16" if d.get("bf16") else "fp32"
-            measured[(int(d["n_shards"]), dt)] = float(d["S_sync"])
+            ns = int(d["n_shards"])
+            measured[(ns, dt, 1)] = float(d["S_sync"])
+            for key, val in d.items():
+                m = re.match(r"G(\d+)$", key)
+                if m:
+                    measured[(ns, dt, int(m.group(1)))] = float(val)
         except (ValueError, KeyError, IndexError):
             continue
     for ov in args.ms:
@@ -107,7 +122,7 @@ def main():
         if not m:
             ap.error(f"bad --ms {ov!r}")
         dt = m.group(3) or ("fp32" if args.dtype != "bf16" else "bf16")
-        measured[(int(m.group(1)), dt)] = float(m.group(2))
+        measured[(int(m.group(1)), dt, 1)] = float(m.group(2))
 
     if not measured:
         ap.error("no zero6 JSONs found and no --ms given")
@@ -115,21 +130,28 @@ def main():
     dtypes = ["fp32", "bf16"] if args.dtype == "both" else [args.dtype]
     print(f"iters/keyframe={args.iters}  assumed ICI BW={args.bw:.0f} GB/s "
           f"effective per device (ESTIMATE — no multi-chip hardware here)")
-    print(f"{'shards':>6} {'dtype':>5} {'ms/iter (meas)':>14} "
+    print(f"{'shards':>6} {'dtype':>5} {'gather':>6} {'ms/iter (meas)':>14} "
           f"{'packed MB':>9} {'ICI ms/iter':>11} "
           f"{'Hz ceiling':>10} {'Hz serialized':>13}")
     rows = []
-    for (ns, dt), ms in sorted(measured.items()):
+    packed_cache = {}
+    for (ns, dt, kg), ms in sorted(measured.items()):
         if dt not in dtypes:
             continue
-        nbytes = plane_packed_bytes(ns, 2 if dt == "bf16" else 4)
-        ici_ms = 2 * (ns - 1) / ns * nbytes / (args.bw * 1e9) * 1e3
+        if (ns, dt) not in packed_cache:
+            packed_cache[(ns, dt)] = plane_packed_bytes(
+                ns, 2 if dt == "bf16" else 4)
+        nbytes = packed_cache[(ns, dt)]
+        one_way = (ns - 1) / ns * nbytes / (args.bw * 1e9) * 1e3
+        ici_ms = one_way * (1.0 / kg + 1.0)  # all-gather/k + reduce-scatter
         hz_ceil = 1000.0 / (args.iters * ms)
         hz_ser = 1000.0 / (args.iters * (ms + ici_ms))
-        rows.append({"shards": ns, "dtype": dt, "ms_iter": ms,
+        rows.append({"shards": ns, "dtype": dt, "gather_every": kg,
+                     "ms_iter": ms,
                      "packed_mb": nbytes / 1e6, "ici_ms": ici_ms,
                      "hz_ceiling": hz_ceil, "hz_serialized": hz_ser})
-        print(f"{ns:>6} {dt:>5} {ms:>14.2f} {nbytes / 1e6:>9.0f} "
+        tag = "sync" if kg == 1 else f"g{kg}"
+        print(f"{ns:>6} {dt:>5} {tag:>6} {ms:>14.2f} {nbytes / 1e6:>9.0f} "
               f"{ici_ms:>11.2f} {hz_ceil:>10.2f} {hz_ser:>13.2f}")
     print(json.dumps({"bw_gbps": args.bw, "iters": args.iters,
                       "rows": rows}))

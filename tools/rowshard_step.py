@@ -11,10 +11,19 @@ the all-gather's result; slice = the reduce-scatter's local block), so
 the per-device COMPUTE is measured exactly while ICI stays an analytic
 term (no multi-chip hardware in this image; see tools/projection.py).
 
-Used by tools/prof_zero6.py (the S/H/P structure comparison) and by
-bench.py's `rowshard` extras block (the driver-recorded north-star
-number). Emulation fidelity is pinned by tests/test_parallel.py's
-8-device == 1-device equality on the production seam.
+Used by tools/prof_zero6.py / prof_zero8.py (structure comparisons) and
+by bench.py's `rowshard` + `fleet.composed` extras blocks (the
+driver-recorded north-star numbers). Emulation fidelity is pinned by
+tests/test_parallel.py's 8-device == 1-device equality on the production
+seam.
+
+`build_composed_superstep` additionally builds the per-device program of
+the COMPOSED agent x rows fleet
+(`parallel/fleet.make_fleet_super_step_row_sharded`): each device of a
+2-agent v5e-8 deployment runs its agent's 4-shard row program PLUS the
+replicated `add_keyframe` packing and the valid-mask select over the
+whole local map state — the overhead the bare per-iteration number omits
+(VERDICT r4 next #4).
 
 Config mirrors the deployment scale: Replica working shapes
 (/root/reference/configs/Replica/replica.yaml:13-28 — 2048+~100 rays,
@@ -33,14 +42,10 @@ import jax.numpy as jnp
 import optax
 
 
-def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
-                    k: int = 40):
-    """Build the sync-seam per-device mapping program.
-
-    Returns (fn, args): fn is an UNJITTED k-iteration fori_loop chain
-    reducing to a scalar (the CLAUDE.md direct-timing protocol); args is
-    its argument tuple. jit and time it: median wall / k = ms/iter.
-    """
+def _build_env(n_shards: int, bf16: bool = False, fast: bool = False):
+    """Shared setup for the per-device programs: config at deployment
+    scale, local row shard + packed rest tables, sync seams, and the
+    per-iteration loss over the local ray shard."""
     from mneslam_tpu.config import make_config
     from mneslam_tpu.data import rays as rays_lib
     from mneslam_tpu.data.synthetic import SyntheticBoxDataset
@@ -143,6 +148,24 @@ def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
         ret = scene.forward(params, rays_o, rays_d, t_rgb, t_d, key=k_render)
         return scene.get_loss_from_ret(ret)
 
+    return dict(cfg=cfg, scene=scene, mapper=mapper, st=st, opt=opt,
+                frame=frame, c2w=c2w, p_local=p_local,
+                rest_packed=rest_packed, loss_with=loss_with,
+                kf_lib=kf_lib)
+
+
+def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
+                    k: int = 40):
+    """Build the sync-seam per-device mapping program.
+
+    Returns (fn, args): fn is an UNJITTED k-iteration fori_loop chain
+    reducing to a scalar (the CLAUDE.md direct-timing protocol); args is
+    its argument tuple. jit and time it: median wall / k = ms/iter.
+    """
+    env = _build_env(n_shards, bf16=bf16, fast=fast)
+    opt, loss_with = env["opt"], env["loss_with"]
+    st = env["st"]
+
     def run_sync(p, s, rest, db, kf_poses, key):
         def loss(p, kk):
             return loss_with(p, rest, db, kf_poses, kk)
@@ -156,9 +179,85 @@ def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
         p, s = jax.lax.fori_loop(0, k, body, (p, s))
         return p["planes"]["xy"][1][0, 0, 0]
 
-    args = (p_local, opt.init(p_local), rest_packed, st.db, st.kf_poses,
-            jax.random.PRNGKey(0))
+    args = (env["p_local"], opt.init(env["p_local"]), env["rest_packed"],
+            st.db, st.kf_poses, jax.random.PRNGKey(0))
     return run_sync, args
+
+
+def build_composed_superstep(n_shards: int, bf16: bool = False,
+                             fast: bool = False, iters: int = 50):
+    """The composed agent x rows fleet's per-device program for one
+    keyframe super-step (make_fleet_super_step_row_sharded's shard_map
+    body at an agent-block of 1): replicated `add_keyframe` packing +
+    kf-pose slot write, `iters` sync-seam row-sharded iterations at
+    `n_shards`, then the valid-mask select over the whole local map
+    state. Returns (jitted step, state0, const) where step(state, const,
+    r) -> state chains super-steps for the bench protocol (chained
+    dispatches, one trailing fetch)."""
+    env = _build_env(n_shards, bf16=bf16, fast=fast)
+    opt, loss_with = env["opt"], env["loss_with"]
+    st, frame, c2w = env["st"], env["frame"], env["c2w"]
+    kf_lib = env["kf_lib"]
+    cfg = env["cfg"]
+    filter_depth = bool(cfg["mapping"].get("filter_depth", False))
+    depth_trunc = float(cfg["cam"]["depth_trunc"])
+
+    @jax.jit
+    def step(state, const, r):
+        p, s, db, kf_poses = state
+        rest, dirs, rgb, depth = const
+        k1 = jax.random.fold_in(jax.random.PRNGKey(11), r)
+        k2 = jax.random.fold_in(jax.random.PRNGKey(12), r)
+        valid = r >= 0  # always true at runtime; the select still executes
+
+        db2 = kf_lib.add_keyframe(db, k1, jnp.asarray(1, jnp.int32), dirs,
+                                  rgb, depth, filter_depth=filter_depth,
+                                  depth_trunc=depth_trunc)
+        kfp2 = jax.lax.dynamic_update_index_in_dim(
+            kf_poses, c2w, db.count, axis=0)
+
+        def loss(p, kk):
+            return loss_with(p, rest, db2, kfp2, kk)
+
+        def body(i, c):
+            p, s = c
+            _, g = jax.value_and_grad(loss)(p, jax.random.fold_in(k2, i))
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        p2, s2 = jax.lax.fori_loop(0, iters, body, (p, s))
+
+        sel = lambda a, b: jnp.where(valid, a, b)
+        p2 = jax.tree.map(sel, p2, p)
+        s2 = jax.tree.map(sel, s2, s)
+        db2 = jax.tree.map(sel, db2, db)
+        kfp2 = sel(kfp2, kf_poses)
+        return p2, s2, db2, kfp2
+
+    state0 = (env["p_local"], opt.init(env["p_local"]), st.db, st.kf_poses)
+    const = (env["rest_packed"], frame["direction"], frame["rgb"],
+             frame["depth"])
+    return step, state0, const
+
+
+def measure_composed_ms_kf(n_shards: int, bf16: bool = False,
+                           fast: bool = False, iters: int = 50,
+                           reps: int = 5) -> float:
+    """Chained-dispatch super-step wall per keyframe (bench protocol)."""
+    import time
+
+    step, state, const = build_composed_superstep(n_shards, bf16=bf16,
+                                                  fast=fast, iters=iters)
+    # fetch ONE scalar only — pulling a whole leaf through the ~10-20 MB/s
+    # tunnel would bill megabytes of transfer as "compute" (CLAUDE.md)
+    fetch = jax.jit(lambda st: st[0]["planes"]["xy"][1][0, 0, 0])
+    state = step(state, const, jnp.asarray(0, jnp.int32))
+    float(fetch(state))  # warm (incl. the fetch program's compile)
+    t0 = time.perf_counter()
+    for r in range(1, reps + 1):
+        state = step(state, const, jnp.asarray(r, jnp.int32))
+    float(fetch(state))
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def measure_ms_iter(n_shards: int, bf16: bool = False, fast: bool = False,
