@@ -312,12 +312,13 @@ def test_row_sharded_prefetch_converges():
     assert losses[2] < 5.0 * losses[0] + 1e-6, losses
 
 
-def _gather_every_cfg(gather_every, sample=64):
+def _gather_every_cfg(gather_every, sample=64, fold="after"):
     return make_config({
         "mapping": {"bound": [[-1.75, 1.75]] * 3,
                     "marching_cubes_bound": [[-1.75, 1.75]] * 3,
                     "sample": sample, "min_pixels_cur": sample // 4,
-                    "shard_gather_every": gather_every},
+                    "shard_gather_every": gather_every,
+                    "shard_fold": fold},
         "planes_res": {"coarse": 0.5, "fine": 0.25, "bound_dividable": 0.5},
         "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
                 "cy": 11.5, "near": 0.0, "far": 5.0},
@@ -380,6 +381,40 @@ def test_row_sharded_gather_every_sharding_exact():
             np.asarray(a), np.asarray(b), atol=3e-5,
             err_msg=jax.tree_util.keystr(path))
     assert np.isfinite(float(met_8["loss"]))
+
+
+@pytest.mark.parametrize("gather_every", [1, 2])
+def test_row_sharded_fold_before_sharding_exact(gather_every):
+    """`mapping.shard_fold: before` (fold the full packed cotangent
+    locally, reduce-scatter the RAW rows — 4x less backward ICI,
+    parallel/mesh.make_row_sharded_pack fold="before") is an exact
+    reordering of the linear fold: 8-device == 1-device leaf for leaf,
+    and == the fold="after" default at matching staleness, both for the
+    sync seam and combined with the k-stale gather (the minimal-ICI
+    G_k+FB deployment configuration, tools/prof_zero9.py)."""
+    assert len(jax.devices()) >= 8
+    cfg_b = _gather_every_cfg(gather_every, fold="before")
+    (st_1, met_1) = _gather_every_run(cfg_b, jax.devices()[:1], 5)
+    (st_8, met_8) = _gather_every_run(cfg_b, jax.devices(), 5)
+    np.testing.assert_allclose(float(met_8["loss"]), float(met_1["loss"]),
+                               rtol=1e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(st_8.params)[0],
+            jax.tree.leaves(st_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5,
+            err_msg=jax.tree_util.keystr(path))
+    # fold ordering must not change the math vs the "after" default
+    (st_a, met_a) = _gather_every_run(
+        _gather_every_cfg(gather_every, fold="after"), jax.devices(), 5)
+    np.testing.assert_allclose(float(met_8["loss"]), float(met_a["loss"]),
+                               rtol=1e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(st_8.params)[0],
+            jax.tree.leaves(st_a.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_shard_plane_rows_config_knob(tmp_path):

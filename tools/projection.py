@@ -25,6 +25,14 @@ iteration, so its ICI ms/iter = (1/k + 1) * (N-1)/N * packed_bytes/BW.
 Rows labeled `gN` derive from tools/prof_zero8.py's measured per-device
 ms/iter at that k (measurements/zero8/*.txt).
 
+`mapping.shard_fold` = "before" (FB) folds the full packed cotangent
+locally and reduce-scatters the RAW [pad_h*W, C] rows — the backward's
+ICI payload drops 4x for an n_shards-times-larger per-device fold
+(measured by tools/prof_zero9.py, measurements/zero9/*.txt), so
+  fold=after :  ICI ms/iter = (1/k + 1)   * (N-1)/N * packed_bytes/BW
+  fold=before:  ICI ms/iter = (1/k + 1/4) * (N-1)/N * packed_bytes/BW
+Rows labeled `fb`/`gNfb` carry the FB variants' measured ms/iter.
+
 Usage:
   python tools/projection.py                  # read checked-in JSONs
   python tools/projection.py --ms 8:3.93 --ms 16:2.5 --dtype fp32
@@ -91,7 +99,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
-    measured = {}  # (shards, dtype, k_gather) -> ms/iter
+    measured = {}  # (shards, dtype, k_gather, fold) -> ms/iter
     import os
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "measurements/zero6/*.txt")))
@@ -102,6 +110,9 @@ def main():
     # round-5 k-stale runs (prof_zero8) carry S_sync + G2/G4/G8 and
     # override the zero6 sync rows (same probe, fresher measurement)
     paths += sorted(glob.glob(os.path.join(here, "measurements/zero8/*.txt")))
+    # round-5 fold="before" runs (prof_zero9): S_sync/G8 re-measurements
+    # plus the FB / G8FB minimal-ICI variants
+    paths += sorted(glob.glob(os.path.join(here, "measurements/zero9/*.txt")))
     for path in paths:
         try:
             line = open(path).read().strip().splitlines()[-1]
@@ -110,11 +121,14 @@ def main():
                 continue  # fast-profile runs are a different sampling config
             dt = "bf16" if d.get("bf16") else "fp32"
             ns = int(d["n_shards"])
-            measured[(ns, dt, 1)] = float(d["S_sync"])
+            measured[(ns, dt, 1, "after")] = float(d["S_sync"])
             for key, val in d.items():
-                m = re.match(r"G(\d+)$", key)
+                m = re.match(r"G(\d+)(FB)?$", key)
                 if m:
-                    measured[(ns, dt, int(m.group(1)))] = float(val)
+                    measured[(ns, dt, int(m.group(1)),
+                              "before" if m.group(2) else "after")] = float(val)
+            if "FB" in d:
+                measured[(ns, dt, 1, "before")] = float(d["FB"])
         except (ValueError, KeyError, IndexError):
             continue
     for ov in args.ms:
@@ -122,7 +136,7 @@ def main():
         if not m:
             ap.error(f"bad --ms {ov!r}")
         dt = m.group(3) or ("fp32" if args.dtype != "bf16" else "bf16")
-        measured[(int(m.group(1)), dt, 1)] = float(m.group(2))
+        measured[(int(m.group(1)), dt, 1, "after")] = float(m.group(2))
 
     if not measured:
         ap.error("no zero6 JSONs found and no --ms given")
@@ -130,12 +144,12 @@ def main():
     dtypes = ["fp32", "bf16"] if args.dtype == "both" else [args.dtype]
     print(f"iters/keyframe={args.iters}  assumed ICI BW={args.bw:.0f} GB/s "
           f"effective per device (ESTIMATE — no multi-chip hardware here)")
-    print(f"{'shards':>6} {'dtype':>5} {'gather':>6} {'ms/iter (meas)':>14} "
+    print(f"{'shards':>6} {'dtype':>5} {'seam':>8} {'ms/iter (meas)':>14} "
           f"{'packed MB':>9} {'ICI ms/iter':>11} "
           f"{'Hz ceiling':>10} {'Hz serialized':>13}")
     rows = []
     packed_cache = {}
-    for (ns, dt, kg), ms in sorted(measured.items()):
+    for (ns, dt, kg, fold), ms in sorted(measured.items()):
         if dt not in dtypes:
             continue
         if (ns, dt) not in packed_cache:
@@ -143,15 +157,18 @@ def main():
                 ns, 2 if dt == "bf16" else 4)
         nbytes = packed_cache[(ns, dt)]
         one_way = (ns - 1) / ns * nbytes / (args.bw * 1e9) * 1e3
-        ici_ms = one_way * (1.0 / kg + 1.0)  # all-gather/k + reduce-scatter
+        # all-gather (packed) / k  +  reduce-scatter (packed, or raw = /4)
+        bwd = 1.0 if fold == "after" else 0.25
+        ici_ms = one_way * (1.0 / kg + bwd)
         hz_ceil = 1000.0 / (args.iters * ms)
         hz_ser = 1000.0 / (args.iters * (ms + ici_ms))
         rows.append({"shards": ns, "dtype": dt, "gather_every": kg,
-                     "ms_iter": ms,
+                     "fold": fold, "ms_iter": ms,
                      "packed_mb": nbytes / 1e6, "ici_ms": ici_ms,
                      "hz_ceiling": hz_ceil, "hz_serialized": hz_ser})
-        tag = "sync" if kg == 1 else f"g{kg}"
-        print(f"{ns:>6} {dt:>5} {tag:>6} {ms:>14.2f} {nbytes / 1e6:>9.0f} "
+        tag = ("sync" if kg == 1 else f"g{kg}") + (
+            "fb" if fold == "before" else "")
+        print(f"{ns:>6} {dt:>5} {tag:>8} {ms:>14.2f} {nbytes / 1e6:>9.0f} "
               f"{ici_ms:>11.2f} {hz_ceil:>10.2f} {hz_ser:>13.2f}")
     print(json.dumps({"bw_gbps": args.bw, "iters": args.iters,
                       "rows": rows}))
