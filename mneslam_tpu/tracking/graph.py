@@ -36,6 +36,36 @@ def _gather_feat_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     return flat[idx].reshape((idx.shape[0],) + table.shape[1:])
 
 
+@jax.jit
+def _add_factors_step(
+    state: video_lib.VideoState,
+    intrinsics: jax.Array,
+    net_buf: jax.Array,     # [capacity, 128, h, w]
+    target_buf: jax.Array,  # [capacity, h, w, 2]
+    weight_buf: jax.Array,  # [capacity, h, w, 2]
+    ii_p: jax.Array,        # [cap] new-edge sources, zero-padded
+    jj_p: jax.Array,        # [cap]
+    n0: jax.Array,          # scalar write offset (traced: no recompile per offset)
+):
+    """Device half of add_factors as ONE dispatch (factor_graph.py:110-133).
+
+    The eager formulation paid ~6 remote dispatches per call (nets gather,
+    cast, reproject, zeros, 3 buffer updates) — ~45 ms of the bench
+    global-BA composite at buffer 512. The edge list is padded to the next
+    power of two (same compile-variant bound as frame_distance_padded);
+    pad rows compute the valid (0,0) edge and land in buffer slots beyond
+    the active count, which every consumer masks or never reads. Caller
+    guarantees n0 + cap <= capacity so the padded block write cannot clamp.
+    """
+    target, _ = video_lib.reproject(state, intrinsics, ii_p, jj_p)
+    new_net = _gather_feat_rows(state.nets, ii_p).astype(net_buf.dtype)
+    net_buf = jax.lax.dynamic_update_slice_in_dim(net_buf, new_net, n0, axis=0)
+    target_buf = jax.lax.dynamic_update_slice_in_dim(target_buf, target, n0, axis=0)
+    weight_buf = jax.lax.dynamic_update_slice_in_dim(
+        weight_buf, jnp.zeros_like(target), n0, axis=0)
+    return net_buf, target_buf, weight_buf
+
+
 @partial(jax.jit, static_argnames=("update_fn", "agg_fn"))
 def gru_chunk_step(
     state: video_lib.VideoState,
@@ -420,18 +450,33 @@ class FactorGraph:
         if n_new == 0:
             return
 
-        ii_j = jnp.asarray(ii)
-        jj_j = jnp.asarray(jj)
-        target, _ = video_lib.reproject(state, self.intrinsics, ii_j, jj_j)
-
         n0 = self.n_active
-        self.net = jax.lax.dynamic_update_slice_in_dim(
-            self.net, state.nets[ii_j].astype(self.net.dtype), n0, axis=0
-        )
-        self.target = jax.lax.dynamic_update_slice_in_dim(self.target, target, n0, axis=0)
-        self.weight = jax.lax.dynamic_update_slice_in_dim(
-            self.weight, jnp.zeros_like(target), n0, axis=0
-        )
+        cap = 1 << max(int(np.ceil(np.log2(max(n_new, 1)))), 4)
+        if n0 + cap <= self.capacity:
+            # fused single-dispatch path (padded; see _add_factors_step)
+            ii_p = np.zeros(cap, np.int32)
+            jj_p = np.zeros(cap, np.int32)
+            ii_p[:n_new] = ii
+            jj_p[:n_new] = jj
+            self.net, self.target, self.weight = _add_factors_step(
+                state, self.intrinsics, self.net, self.target, self.weight,
+                jnp.asarray(ii_p), jnp.asarray(jj_p),
+                jnp.asarray(n0, jnp.int32))
+        else:
+            # exact-size eager fallback when the padded block would clamp
+            # against the buffer end (dynamic_update_slice shifts the start
+            # to fit, which would corrupt live slots)
+            ii_j = jnp.asarray(ii)
+            jj_j = jnp.asarray(jj)
+            target, _ = video_lib.reproject(state, self.intrinsics, ii_j, jj_j)
+            self.net = jax.lax.dynamic_update_slice_in_dim(
+                self.net, state.nets[ii_j].astype(self.net.dtype), n0, axis=0
+            )
+            self.target = jax.lax.dynamic_update_slice_in_dim(
+                self.target, target, n0, axis=0)
+            self.weight = jax.lax.dynamic_update_slice_in_dim(
+                self.weight, jnp.zeros_like(target), n0, axis=0
+            )
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(n_new, np.int64)])
@@ -458,12 +503,17 @@ class FactorGraph:
                 self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop[:k]]])
                 self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop[:k]]])
 
-        # compact device arrays
-        perm = np.concatenate([keep, drop])  # keepers to the front
-        perm_j = jnp.asarray(np.concatenate([perm, np.arange(len(self.ii), self.capacity)]))
-        self.net = self.net[perm_j]
-        self.target = self.target[perm_j]
-        self.weight = self.weight[perm_j]
+        # compact device arrays (keepers to the front). When the permutation
+        # is the identity — e.g. clear_edges drops ALL actives, so
+        # keep=[], drop=arange(n) — the gather is a semantic no-op over
+        # slots that are garbage beyond len(self.ii) anyway: skip the three
+        # full-capacity device gathers (~640 MB net buffer at ScanNet scale).
+        perm = np.concatenate([keep, drop])
+        if not np.array_equal(perm, np.arange(len(perm))):
+            perm_j = jnp.asarray(np.concatenate([perm, np.arange(len(self.ii), self.capacity)]))
+            self.net = self.net[perm_j]
+            self.target = self.target[perm_j]
+            self.weight = self.weight[perm_j]
         self.ii = self.ii[keep]
         self.jj = self.jj[keep]
         self.age = self.age[keep]
