@@ -204,6 +204,7 @@ class Backend:
         dst.ii = src.ii[:n].copy()
         dst.jj = src.jj[:n].copy()
         dst.age = src.age[:n].copy()
+        dst._edges_version += 1  # invalidate any sparse-pair cache
         dst.net = dst.net.at[:n].set(src.net[:n].astype(dst.net.dtype))
         dst.target = dst.target.at[:n].set(src.target[:n])
         dst.weight = dst.weight.at[:n].set(src.weight[:n])

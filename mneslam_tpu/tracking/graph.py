@@ -369,6 +369,15 @@ class FactorGraph:
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
 
+        # sparse-Schur pair cache: `Backend._run` calls `update` `steps`
+        # times over an UNCHANGED edge set, and the host-side pair
+        # enumeration (ba_sparse.build_pairs, a Python loop) was rebuilt
+        # twice per call. Keyed on an edge-set version bumped by every
+        # index mutation (add_factors / rm_factors / rm_keyframe).
+        self._edges_version = 0
+        self._pairs_key = None
+        self._pairs = None
+
         # hidden-state table matches the tracker nets' dtype (bf16 on TPU)
         # so update writes don't up/down-cast [cap, 128, h, w] every call
         leaves = jax.tree.leaves(params)
@@ -393,7 +402,12 @@ class FactorGraph:
     def n_active(self) -> int:
         return len(self.ii)
 
-    def _padded_indices(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def _padded_indices_np(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host copies of the padded active edge indices. `update` keeps
+        these for the sparse-pairs build: fetching a just-uploaded device
+        array back with np.asarray pays a full tunnel RTT per array on the
+        remote backend (~99 ms of the ScanNet-scale update was six such
+        fetches)."""
         ii = np.zeros(self.capacity, np.int32)
         jj = np.zeros(self.capacity, np.int32)
         m = np.zeros(self.capacity, np.float32)
@@ -401,9 +415,15 @@ class FactorGraph:
         ii[:n] = self.ii
         jj[:n] = self.jj
         m[:n] = 1.0
+        return ii, jj, m
+
+    def _padded_indices(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        ii, jj, m = self._padded_indices_np()
         return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(m)
 
-    def _padded_inactive(self, t0: int):
+    def _padded_inactive_np(self, t0: int):
+        """Host (ii, jj, mask) for the retained inactive edges plus the
+        device-gathered stored targets/weights."""
         ii = np.zeros(self.cap_inac, np.int32)
         jj = np.zeros(self.cap_inac, np.int32)
         m = np.zeros(self.cap_inac, np.float32)
@@ -421,6 +441,10 @@ class FactorGraph:
             weight = self.weight_inac[jnp.asarray(gather)]
         else:
             target, weight = self.target_inac, self.weight_inac
+        return ii, jj, m, target, weight
+
+    def _padded_inactive(self, t0: int):
+        ii, jj, m, target, weight = self._padded_inactive_np(t0)
         return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(m), target, weight
 
     # ------------------------------------------------------------------
@@ -480,12 +504,14 @@ class FactorGraph:
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(n_new, np.int64)])
+        self._edges_version += 1
 
     def rm_factors(self, mask: np.ndarray, store: bool = False):
         """Drop active edges; optionally archive them (factor_graph.py:136-160)."""
         mask = np.asarray(mask, bool)
         if mask.sum() == 0:
             return
+        self._edges_version += 1
         drop = np.nonzero(mask)[0]
         keep = np.nonzero(~mask)[0]
 
@@ -522,6 +548,7 @@ class FactorGraph:
         """Remove keyframe ix: compact the video buffer and remap edge
         indices (factor_graph.py:163-221)."""
         state = video_lib.remove_keyframe(state, jnp.asarray(ix))
+        self._edges_version += 1  # indices renumber even when none drop
 
         m = (self.ii_inac == ix) | (self.jj_inac == ix)
         self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1, self.ii_inac)
@@ -565,25 +592,38 @@ class FactorGraph:
         if t1 is None:
             t1 = int(max(self.ii.max(), self.jj.max())) + 1
 
-        ii, jj, mask = self._padded_indices()
+        ii_np, jj_np, m_np = self._padded_indices_np()
+        ii, jj, mask = jnp.asarray(ii_np), jnp.asarray(jj_np), jnp.asarray(m_np)
         if use_inactive:
-            ii_i, jj_i, m_i, tgt_i, w_i = self._padded_inactive(t0)
+            ii_i_np, jj_i_np, m_i_np, tgt_i, w_i = self._padded_inactive_np(t0)
         else:
-            ii_i = jnp.zeros(self.cap_inac, jnp.int32)
-            jj_i = jnp.zeros(self.cap_inac, jnp.int32)
-            m_i = jnp.zeros(self.cap_inac, jnp.float32)
+            ii_i_np = np.zeros(self.cap_inac, np.int32)
+            jj_i_np = np.zeros(self.cap_inac, np.int32)
+            m_i_np = np.zeros(self.cap_inac, np.float32)
             tgt_i, w_i = self.target_inac, self.weight_inac
+        ii_i = jnp.asarray(ii_i_np)
+        jj_i = jnp.asarray(jj_i_np)
+        m_i = jnp.asarray(m_i_np)
 
         pairs = None
         if self.sparse_ba:
-            from ..ops import ba_sparse
+            key = (self._edges_version, use_inactive,
+                   t0 if use_inactive else None)
+            if self._pairs_key == key:
+                pairs = self._pairs
+            else:
+                from ..ops import ba_sparse
 
-            comb_ii = np.concatenate([np.asarray(ii), np.asarray(ii_i)])
-            comb_jj = np.concatenate([np.asarray(jj), np.asarray(jj_i)])
-            comb_m = np.concatenate([np.asarray(mask), np.asarray(m_i)]) > 0
-            raw = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m)
-            cap = 1 << max(int(np.ceil(np.log2(max(raw.n_pairs, 1)))), 6)
-            pairs = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m, capacity=cap)
+                # host copies only — np.asarray on the device arrays would
+                # pay one tunnel RTT EACH on the remote backend
+                comb_ii = np.concatenate([ii_np, ii_i_np])
+                comb_jj = np.concatenate([jj_np, jj_i_np])
+                comb_m = np.concatenate([m_np, m_i_np]) > 0
+                raw = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m)
+                cap = 1 << max(int(np.ceil(np.log2(max(raw.n_pairs, 1)))), 6)
+                pairs = ba_sparse.build_pairs(comb_ii, comb_jj, comb_m,
+                                              capacity=cap)
+                self._pairs_key, self._pairs = key, pairs
 
         if self.corr_chunk is not None and self.capacity > self.corr_chunk:
             # ---- memory-bounded path: GRU in chunks, one BA over all,

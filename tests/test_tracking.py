@@ -291,6 +291,43 @@ def test_graph_sparse_ba_matches_dense_path():
     np.testing.assert_allclose(results[True], results[False], atol=1e-4)
 
 
+def test_sparse_pairs_cache_invalidation():
+    """The Schur-pair cache must hit across same-edge-set updates and
+    rebuild after every index mutation (add_factors / rm_factors /
+    rm_keyframe renumbering)."""
+    key = jax.random.PRNGKey(0)
+    n, buffer = 6, 8
+    gt_poses = lie.identity((buffer,))
+    gt_disps = jnp.ones((buffer, HT, WD)) * 0.5
+    update_fn, agg_fn = make_oracle(gt_poses, gt_disps, INTR)
+    state = video_lib.init_video(buffer, HT, WD)
+    state = state._replace(disps=gt_disps, disps_sens=gt_disps, poses=gt_poses)
+    graph = FactorGraph(buffer, HT, WD, capacity=40, params={}, intrinsics=INTR,
+                        window=8, update_fn=update_fn, agg_fn=agg_fn,
+                        sparse_ba=True)
+    graph.add_neighborhood_factors(state, 0, n, r=2)
+
+    state = graph.update(state, t0=1, t1=n)
+    pairs0 = graph._pairs
+    assert pairs0 is not None
+    state = graph.update(state, t0=1, t1=n)
+    assert graph._pairs is pairs0  # unchanged edges -> cache hit
+
+    graph.add_factors(state, [0], [3])
+    state = graph.update(state, t0=1, t1=n)
+    pairs1 = graph._pairs
+    assert pairs1 is not pairs0  # new edge -> rebuilt
+
+    graph.rm_factors(np.arange(graph.n_active) == 0, store=False)
+    state = graph.update(state, t0=1, t1=n)
+    pairs2 = graph._pairs
+    assert pairs2 is not pairs1
+
+    state = graph.rm_keyframe(state, n - 1)
+    state = graph.update(state, t0=1, t1=n - 1)
+    assert graph._pairs is not pairs2  # renumbering invalidates too
+
+
 # ---------------------------------------------------------------------------
 # batched motion filter
 # ---------------------------------------------------------------------------
