@@ -18,6 +18,17 @@ import time
 import numpy as np
 
 
+def _add_tools_path():
+    """Make tools/ importable (rowshard_step — the per-device measurement
+    builders shared with the prof_* protocol scripts)."""
+    import os
+    import sys
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
@@ -398,10 +409,7 @@ def main():
         # valid-mask select, executed exactly on this one chip
         # (tools/rowshard_step.build_composed_superstep). Compute-only;
         # ICI stays analytic (tools/projection.py).
-        import os
-        import sys as _sys
-        _sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
+        _add_tools_path()
         from rowshard_step import measure_composed_ms_kf
 
         ms_c = measure_composed_ms_kf(4, iters=iters)
@@ -415,15 +423,28 @@ def main():
     # measured; ICI remains analytic (tools/projection.py).
     rowshard = {}
     if not args.quick:
-        import os
-        import sys as _sys
-        _sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
-        from rowshard_step import measure_ms_iter
+        _add_tools_path()
+        from rowshard_step import measure_ms_iter, packed_bytes_all_planes
 
         ms8 = measure_ms_iter(8, k=40, n_wall=5)
         rowshard["per_device_ms_iter_8shard"] = round(ms8, 2)
         rowshard["kf_hz_ceiling_v5e8"] = round(1e3 / (iters * ms8), 2)
+
+        # the deployment configuration (room0_v5e8.yaml): bf16 render +
+        # shard_gather_every 8 (k-stale loop-invariant tables, round 5 —
+        # quality-neutral, divides the packed-table all-gather by 8).
+        # Compute is MEASURED; the serialized bound adds the ANALYTIC ICI
+        # term (payload from the actual plane shapes; 100 GB/s effective
+        # per-device collective bandwidth, the conservative assumption —
+        # tools/projection.py): ici = (1/k + 1) * (N-1)/N * packed / BW.
+        ms8g = measure_ms_iter(8, bf16=True, gather_every=8, k=40, n_wall=5)
+        payload = packed_bytes_all_planes(8, bf16=True)
+        ici_ms = (1.0 / 8 + 1.0) * (7.0 / 8) * payload / 100e9 * 1e3
+        rowshard["per_device_ms_iter_8shard_bf16_g8"] = round(ms8g, 2)
+        rowshard["kf_hz_ceiling_v5e8_bf16_g8"] = round(1e3 / (iters * ms8g), 2)
+        rowshard["kf_hz_serialized_v5e8_bf16_g8_at100GBs"] = round(
+            1e3 / (iters * (ms8g + ici_ms)), 2)
+        rowshard["ici_ms_iter_bf16_g8_analytic_at100GBs"] = round(ici_ms, 2)
 
     # ---- end-to-end SLAM throughput (the reference's real-time claim) ----
     # Composite pipeline rate at the reference's keyframe admission (~1 in 5

@@ -341,16 +341,19 @@ class MeshAgentFleet:
                 if not v:
                     continue
                 a.first_frame_mapped = True
-                a.mapped_timestamps.append(float(idx))
-                a.metrics_log.append(
-                    {k: float(m[i]) for k, m in metrics.items()})
-                # publish + loop detect + closure (mapper.py:224-229)
-                n_kf = min(len(a.mapped_timestamps), a.map_state.kf_poses.shape[0])
-                kf_ts = np.asarray(a.mapped_timestamps[:n_kf], float)
-                kf_poses = np.asarray(a.map_state.kf_poses[:n_kf])
-                a.collab.on_keyframe_mapped(
-                    idx, a.dataset[idx]["rgb"], np.asarray(poses[i]),
-                    kf_poses, kf_ts)
+                # shared bookkeeping (mapped_timestamps, raw-pose history
+                # growth, metrics log, publish + loop detect + closure) —
+                # the same helper the run_slam path uses (_map_pending).
+                # Crucially its collab hook feeds kf_poses_raw, never the
+                # aligned map slots: under loop_closure.map_aligned the
+                # fold-back below writes the closure-deformed poses into
+                # the stack, and re-deforming those on the next publish
+                # would compound the correction every round (the same
+                # failure mode as the round-4 raw-pose bug, 0.18 m -> 5.1 m;
+                # this path previously passed map_state.kf_poses directly).
+                a._post_map_bookkeeping(
+                    idx, np.asarray(poses[i]),
+                    {k: m[i] for k, m in metrics.items()})
                 # `loop_closure.map_aligned` may have overridden the
                 # agent-local view's kf_poses (set_aligned_kf_poses via
                 # _apply_closure) — fold that back into the stack so the

@@ -40,6 +40,17 @@ _get_poses_c2w_jit = jax.jit(video_lib.get_poses_c2w, static_argnames=("n",))
 
 
 @jax.jit
+def _pack_refresh_fetch(poses: jax.Array, hit: jax.Array) -> jax.Array:
+    """[num_kf, 4, 4] poses + [num_kf] hit mask -> one [num_kf, 17] array,
+    so the raw-history maintenance below costs ONE device->host fetch per
+    refresh instead of two (each fetch pays the ~25-30 ms remote-tunnel
+    RTT regardless of payload; num_kf*17 floats is ~35 KB at buffer 512)."""
+    return jnp.concatenate(
+        [poses.reshape(poses.shape[0], 16), hit.astype(jnp.float32)[:, None]],
+        axis=1)
+
+
+@jax.jit
 def _refresh_kf_poses_batched(
     kf_poses: jax.Array,      # [num_kf, 4, 4] mapper slot poses
     mapped_ts: jax.Array,     # [num_kf] timestamp per mapper slot, -1 = empty
@@ -244,8 +255,9 @@ class MNESLAM:
                 # leak into the "raw" trajectory even if the
                 # never-cull-a-mapped-keyframe invariant is violated
                 # (ADVICE r4 #2).
-                raw = np.array(new_poses[:k])
-                hit_np = np.asarray(hit[:k])
+                packed = np.asarray(_pack_refresh_fetch(new_poses, hit))
+                raw = packed[:k, :16].reshape(k, 4, 4).copy()
+                hit_np = packed[:k, 16] > 0.5
                 if self._raw_kf_poses is not None:
                     m_prev = min(k, len(self._raw_kf_poses))
                     miss = ~hit_np[:m_prev]

@@ -443,10 +443,6 @@ class FactorGraph:
             target, weight = self.target_inac, self.weight_inac
         return ii, jj, m, target, weight
 
-    def _padded_inactive(self, t0: int):
-        ii, jj, m, target, weight = self._padded_inactive_np(t0)
-        return jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(m), target, weight
-
     # ------------------------------------------------------------------
 
     def add_factors(self, state: video_lib.VideoState, ii, jj, remove: bool = False):

@@ -153,6 +153,28 @@ def test_repo_configs_load():
             assert np.asarray(b, float).shape == (3, 2), (path, key)
 
 
+def test_v5e8_deployment_knobs():
+    """The v5e-8 deployment profiles pin the measured-optimal sharding
+    knobs (BASELINE.md round-5 k-stale table): the single-agent 8-shard
+    profile runs the k-stale seam (gather_every 8 — quality-neutral,
+    divides the all-gather by 8), while the 2-agent fleet's 4-shard row
+    groups override back to the sync seam (g8 COSTS compute at 4 shards:
+    4.71 vs 4.46 bf16 ms/iter; the measured 192.5 ms/kf headline is sync)."""
+    from mneslam_tpu.config import default_config, deep_update, load_config
+
+    v5e8 = deep_update(default_config(),
+                       load_config("configs/Replica/room0_v5e8.yaml"))
+    assert v5e8["mapping"]["shard_plane_rows"] is True
+    assert int(v5e8["mapping"]["shard_gather_every"]) == 8
+    assert v5e8["training"]["render_dtype"] == "bfloat16"
+
+    fleet = deep_update(default_config(),
+                        load_config("configs/Replica/room0_v5e8_fleet.yaml"))
+    assert fleet["mapping"]["shard_plane_rows"] is True  # inherited
+    assert int(fleet["mapping"]["shard_gather_every"]) == 1  # overridden
+    assert fleet["training"]["render_dtype"] == "bfloat16"
+
+
 def test_replica_loader_undistortion(tmp_path):
     """cam.distortion triggers cv2.undistort on color only (dataset.py:99),
     applied at raw resolution with the raw intrinsics; depth untouched."""

@@ -129,6 +129,63 @@ def test_fleet_loop_closure_through_mesh_comms(tmp_path):
                for c in fleet.collabs), "no cross-agent loop fired"
 
 
+def test_fleet_mapping_only_closure_does_not_compound(tmp_path):
+    """Regression: under `loop_closure.map_aligned`, run_mapping_only's
+    publish/closure hook must consume RAW poses (slam.kf_poses_raw), never
+    the aligned map slots. The stored closure transform re-applies to the
+    growing raw trajectory on every publish; the map_aligned fold-back
+    writes the DEFORMED poses into the stacked state, so feeding those
+    back into _apply_closure would re-deform them once per round —
+    compounding the correction exactly like the round-4 raw-pose bug
+    (0.18 m -> 5.1 m). After N rounds the exported aligned trajectory must
+    equal deform(raw, T) applied ONCE."""
+    from mneslam_tpu.agents import fusion
+
+    cfg = fleet_cfg(tmp_path, "cmp", loop=False)
+    cfg["mapping"].update(first_iters=4, iters=2)  # pose bookkeeping only
+    cfg["loop_closure"] = {"map_aligned": True, "pose_decay_sigma": 10.0,
+                           "pose_decay_min_weight": 0.1}
+    agents = make_agents(cfg, tmp_path, "cmp")
+    fleet = MeshAgentFleet(agents)
+    tgt = agents[1]
+
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.05  # a 5 cm closure correction
+    orig = tgt.collab.on_keyframe_mapped
+    fired = {}
+
+    def hook(kf_id, rgb, cur, kf_poses, kf_ts):
+        # inject an accepted closure once two keyframes exist; the real
+        # publish path then re-applies it on every subsequent round
+        if not fired and len(kf_ts) >= 2:
+            tgt.collab.closure_relative = T
+            tgt.collab.closure_loss = 0.0
+            tgt.collab.closure_init_loss = 1.0
+            tgt.collab.closure_loop_ts = float(kf_ts[0])
+            fired["ts"] = float(kf_ts[0])
+        return orig(kf_id, rgb, cur, kf_poses, kf_ts)
+
+    tgt.collab.on_keyframe_mapped = hook
+    fleet.run_mapping_only()
+    assert fired, "closure injection never armed"
+
+    # ground truth: ONE application of T to the raw (dataset) trajectory
+    raw = np.stack([np.asarray(tgt.dataset[int(t)]["c2w"])
+                    for t in tgt.mapped_timestamps]).astype(np.float32)
+    expect = np.asarray(fusion.deform_trajectory(
+        jnp.asarray(raw), jnp.asarray(0), jnp.asarray(T),
+        decay_sigma=10.0, min_weight=0.1))
+    got = np.asarray(tgt.collab.aligned_poses_c2w)
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # and the fold-back put the aligned poses (not raw) into the stack
+    n = len(tgt.mapped_timestamps)
+    np.testing.assert_allclose(np.asarray(tgt.map_state.kf_poses[:n]),
+                               expect, atol=1e-5)
+    # while kf_poses_raw still returns the tracker-world trajectory
+    np.testing.assert_allclose(tgt.kf_poses_raw(n), raw, atol=1e-6)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("row_sharded", [False, True])
 def test_fleet_slam_matches_sequential(tmp_path, row_sharded):

@@ -106,13 +106,15 @@ def main():
     # post-Pallas-scatter re-measurements (round 4) override the originals
     paths += sorted(glob.glob(os.path.join(here,
                                            "measurements/zero6_pallas/*.txt")))
-    paths += sorted(glob.glob("/tmp/zero6_*.txt"))  # fresher runs win
     # round-5 k-stale runs (prof_zero8) carry S_sync + G2/G4/G8 and
     # override the zero6 sync rows (same probe, fresher measurement)
     paths += sorted(glob.glob(os.path.join(here, "measurements/zero8/*.txt")))
     # round-5 fold="before" runs (prof_zero9): S_sync/G8 re-measurements
     # plus the FB / G8FB minimal-ICI variants
     paths += sorted(glob.glob(os.path.join(here, "measurements/zero9/*.txt")))
+    # local re-measurements LAST: a fresh /tmp run must beat every
+    # checked-in artifact for the rows it covers
+    paths += sorted(glob.glob("/tmp/zero6_*.txt"))
     for path in paths:
         try:
             line = open(path).read().strip().splitlines()[-1]

@@ -121,17 +121,50 @@ def _build_env(n_shards: int, bf16: bool = False, fast: bool = False):
                     jnp.zeros((Hh * Ww - B, 4 * C), cdt))
 
         f.defvjp(fwd, bwd)
+        # .pack: forward-only pack (no VJP) for the k-stale outer gather
+        f.pack = lambda loc, rest: jnp.concatenate(
+            [interp.pack_corners(jax.lax.stop_gradient(loc).astype(cdt)),
+             rest], axis=0)
         return f
+
+    def make_consume_seam(ts, hloc):
+        """Identity forward over an already-packed (possibly stale) table
+        whose VJP still folds the cotangent's local block into the local
+        raw rows — the k-stale structure's gradient path
+        (parallel/mesh `f.consume`; mapping.shard_gather_every)."""
+        C, Hh, Ww = ts
+        B = hloc * Ww
+
+        @jax.custom_vjp
+        def consume(loc, table):
+            return table
+
+        def fwd(loc, table):
+            return table, None
+
+        def bwd(_, d):
+            blk = d[:B]
+            out = interp.fold_corners_rows(blk, Hh, Ww, y0=0, halo_row=None)
+            return (jnp.transpose(out.reshape(hloc, Ww, C), (2, 0, 1))
+                    .astype(jnp.float32),
+                    jnp.zeros((Hh * Ww, 4 * C), cdt))
+
+        consume.defvjp(fwd, bwd)
+        return consume
 
     sync_seams = {name: [make_sync_seam(true_shapes[name][lvl],
                                         hlocs[name][lvl])
                          for lvl in range(2)] for name in ("xy", "xz", "yz")}
+    cons_seams = {name: [make_consume_seam(true_shapes[name][lvl],
+                                           hlocs[name][lvl])
+                         for lvl in range(2)] for name in ("xy", "xz", "yz")}
 
-    def loss_with(p, rest, db, kf_poses, key):
+    def loss_with_fn(packed_fn, p, db, kf_poses, key):
+        """Generalized loss: packed_fn(name, lvl, loc) supplies the packed
+        table view (sync seam, or consume seam over a stale table)."""
         planes_packed = {
             name: [interp.PackedPlane(
-                sync_seams[name][lvl](p["planes"][name][lvl],
-                                      rest[name][lvl]),
+                packed_fn(name, lvl, p["planes"][name][lvl]),
                 true_shapes[name][lvl])
                    for lvl in range(2)]
             for name in ("xy", "xz", "yz")}
@@ -148,9 +181,23 @@ def _build_env(n_shards: int, bf16: bool = False, fast: bool = False):
         ret = scene.forward(params, rays_o, rays_d, t_rgb, t_d, key=k_render)
         return scene.get_loss_from_ret(ret)
 
+    def loss_with(p, rest, db, kf_poses, key):
+        """Sync-seam loss (the production default's per-device program)."""
+        return loss_with_fn(
+            lambda nm, lvl, loc: sync_seams[nm][lvl](loc, rest[nm][lvl]),
+            p, db, kf_poses, key)
+
+    def pack_all(p, rest):
+        """Forward-only pack of every plane (the k-stale outer gather)."""
+        return {name: [sync_seams[name][lvl].pack(p["planes"][name][lvl],
+                                                  rest[name][lvl])
+                       for lvl in range(2)] for name in ("xy", "xz", "yz")}
+
     return dict(cfg=cfg, scene=scene, mapper=mapper, st=st, opt=opt,
                 frame=frame, c2w=c2w, p_local=p_local,
                 rest_packed=rest_packed, loss_with=loss_with,
+                loss_with_fn=loss_with_fn, sync_seams=sync_seams,
+                cons_seams=cons_seams, pack_all=pack_all,
                 kf_lib=kf_lib)
 
 
@@ -182,6 +229,90 @@ def build_sync_step(n_shards: int, bf16: bool = False, fast: bool = False,
     args = (env["p_local"], opt.init(env["p_local"]), env["rest_packed"],
             st.db, st.kf_poses, jax.random.PRNGKey(0))
     return run_sync, args
+
+
+def build_gk_step(n_shards: int, bf16: bool = False, fast: bool = False,
+                  k: int = 40, gather_every: int = 8):
+    """Per-device program of the k-stale seam (`mapping.shard_gather_every`,
+    round 5): ONE pack (the all-gather's local half) hoisted out of every
+    `gather_every`-iteration inner loop; the forward consumes the
+    loop-invariant stale table while the gradient still folds to the local
+    rows (consume seam) and Adam applies every iteration. Same
+    (fn, args) contract as build_sync_step."""
+    assert k % gather_every == 0, (k, gather_every)
+    env = _build_env(n_shards, bf16=bf16, fast=fast)
+    opt = env["opt"]
+    loss_with_fn, cons_seams = env["loss_with_fn"], env["cons_seams"]
+    pack_all, st = env["pack_all"], env["st"]
+
+    def run_gk(p, s, rest, db, kf_poses, key):
+        def loss(p, tables, kk):
+            return loss_with_fn(
+                lambda nm, lvl, loc: cons_seams[nm][lvl](
+                    loc, tables[nm][lvl]),
+                p, db, kf_poses, kk)
+
+        def outer(o, c):
+            p, s = c
+            tables = pack_all(p, rest)   # closure invariant of `inner`
+
+            def inner(j, c2):
+                p, s = c2
+                _, g = jax.value_and_grad(loss)(
+                    p, tables, jax.random.fold_in(key, o * gather_every + j))
+                u, s = opt.update(g, s, p)
+                return optax.apply_updates(p, u), s
+
+            return jax.lax.fori_loop(0, gather_every, inner, (p, s))
+
+        p, s = jax.lax.fori_loop(0, k // gather_every, outer, (p, s))
+        return p["planes"]["xy"][1][0, 0, 0]
+
+    args = (env["p_local"], opt.init(env["p_local"]), env["rest_packed"],
+            st.db, st.kf_poses, jax.random.PRNGKey(0))
+    return run_gk, args
+
+
+def packed_bytes_all_planes(n_shards: int, bf16: bool = False,
+                            fast: bool = False) -> int:
+    """Total packed-table bytes at the deployment config (shape math only —
+    jax.eval_shape, nothing materialized): per plane [C, H, W] the packed
+    table is [pad_h*W, 4C] where pad_h rounds H up to a shard multiple
+    (the production seam's padding). This is the per-iteration all-gather
+    receive volume x N/(N-1) — bench.py's analytic ICI term uses it."""
+    from mneslam_tpu.config import make_config
+    from mneslam_tpu.models.scene_rep import SceneRep
+
+    n_global, n_cur = 2048 // n_shards, 104 // n_shards
+    bound, coarse, fine = 4.0, 0.04, 0.02
+    H, W = 320, 640
+    cfg = make_config({
+        "mapping": {"bound": [[-bound, bound]] * 3,
+                    "marching_cubes_bound": [[-bound, bound]] * 3,
+                    "sample": n_global, "min_pixels_cur": n_cur, "iters": 50},
+        "planes_res": {"coarse": coarse, "fine": fine,
+                       "bound_dividable": coarse},
+        "cam": {"H": H, "W": W, "fx": W / 2, "fy": W / 2,
+                "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
+                "H_out": H, "W_out": W, "near": 0.0, "far": 10.0},
+        "training": {"n_range_d": 11, "n_samples_d": 8 if fast else 32,
+                     "range_d": 0.1,
+                     "render_dtype": "bfloat16" if bf16 else "float32"},
+    })
+    scene = SceneRep(cfg)
+    shapes = jax.eval_shape(scene.init_params, jax.random.PRNGKey(0))
+    esize = 2 if bf16 else 4
+    total = 0
+    # both plane families: 'c_planes' exists when grid.oneGrid is False
+    # (separate color planes) — same accounting as projection.py's
+    # plane_packed_bytes
+    for which in ("planes", "c_planes"):
+        for name_planes in (shapes.get(which) or {}).values():
+            for pl in name_planes:
+                C, Hh, Ww = pl.shape
+                pad_h = -(-Hh // n_shards) * n_shards
+                total += pad_h * Ww * 4 * C * esize
+    return total
 
 
 def build_composed_superstep(n_shards: int, bf16: bool = False,
@@ -261,12 +392,18 @@ def measure_composed_ms_kf(n_shards: int, bf16: bool = False,
 
 
 def measure_ms_iter(n_shards: int, bf16: bool = False, fast: bool = False,
-                    k: int = 40, n_wall: int = 5) -> float:
+                    k: int = 40, n_wall: int = 5,
+                    gather_every: int = 1) -> float:
     """Direct-protocol measurement: jit the k-iter chain, warm it, median
-    of n_wall fetch-synced walls / k."""
+    of n_wall fetch-synced walls / k. gather_every > 1 measures the
+    k-stale seam (build_gk_step) instead of the sync seam."""
     import time
 
-    fn, args = build_sync_step(n_shards, bf16=bf16, fast=fast, k=k)
+    if gather_every > 1:
+        fn, args = build_gk_step(n_shards, bf16=bf16, fast=fast, k=k,
+                                 gather_every=gather_every)
+    else:
+        fn, args = build_sync_step(n_shards, bf16=bf16, fast=fast, k=k)
     jfn = jax.jit(fn)
     float(np.asarray(jfn(*args)).ravel()[0])
     walls = []
