@@ -181,7 +181,17 @@ def _unpack_corners_adjoint(d_packed: jax.Array, C: int, H: int, W: int) -> jax.
     back to the plane [C, H, W]. Each plane texel received 4 copies in the
     pack (as corner 00 of its own row, 01 of its left neighbor, 10 of the
     row above, 11 of the upper-left), with border rows duplicating the last
-    column/row — the shifts below are the exact transpose of that."""
+    column/row — the shifts below are the exact transpose of that.
+
+    NOTE: mathematically this equals
+    `transpose(fold_corners_rows(d_packed, H, W).reshape(H, W, C))` (the
+    block-composable fold at y0=0, Hb=H, no halo) — a change to either
+    must be mirrored in the other (both are transposes of
+    pack_corners_hwc, pinned by the sampler-VJP brute-force tests). They
+    are deliberately NOT consolidated: fold_corners_rows' traced-y0
+    iota-masked border handling costs +3.2 ms/iter at full table size on
+    v5e (16.87 -> 20.05 ms/iter full mapping step at reference sampling,
+    round-5 A/B), while the static `.at[-1].add` border here is free."""
     d = d_packed.reshape(H, W, 4 * C)
     d00 = d[..., 0 * C:1 * C]
     d01 = d[..., 1 * C:2 * C]

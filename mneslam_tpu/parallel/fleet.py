@@ -86,7 +86,18 @@ class MeshComms(Comms):
     def descriptors(self) -> List[Dict]:
         if self._db is None:
             return []
-        full = np.asarray(pmesh.all_gather_descriptors(self._db, self.mesh))
+        # fetch only the filled prefix, padded to the next power of two:
+        # the fill counts are host-known, a full-capacity fetch pulls
+        # cap*D floats per agent through the ~10-20 MB/s tunnel per
+        # keyframe, and pow2 padding keeps the slice-shape count (= eager
+        # remote compiles) logarithmic over a run
+        n_max = max(len(ids) for ids in self._kf_ids)
+        if n_max == 0:
+            return []
+        pad = min(self.desc_cap, 1 << (n_max - 1).bit_length() if n_max > 1
+                  else 1)
+        gathered = pmesh.all_gather_descriptors(self._db, self.mesh)
+        full = np.asarray(gathered[:, :pad])
         out = []
         for r in range(self.n_agents):
             for i, kf in enumerate(self._kf_ids[r]):
@@ -232,6 +243,19 @@ class MeshAgentFleet:
                              .get("shard_plane_rows", False)))
         n_rows = int(self.mesh.shape.get("ray", 1))
         self.row_sharded = want_rows and n_rows > 1
+        if self.row_sharded and int(self.mesh.shape["agent"]) != n:
+            # the composed super-step's shard_map body squeezes an
+            # agent-block of exactly 1 (sq/ex in
+            # make_fleet_super_step_row_sharded) — a 2-agent block would
+            # silently drop its second agent, and an uneven split fails at
+            # trace time with an opaque error. make_mesh degrades
+            # gracefully for non-dividing agent counts, so guard here.
+            raise ValueError(
+                f"row-sharded fleet needs exactly one agent per 'agent' "
+                f"slice: {n} agents on a mesh with agent axis "
+                f"{int(self.mesh.shape['agent'])} "
+                f"(pass a mesh with agent={n}, or disable "
+                f"mapping.shard_plane_rows)")
         if self.row_sharded:
             # compose: each agent's 'ray' device group runs the row-sharded
             # mapper program (collectives over 'ray' only), agents ride the
@@ -260,7 +284,17 @@ class MeshAgentFleet:
                              "across agents (shared bound/resolution config)")
         self.state = pmesh.shard_agent_stack(
             tree_stack([a.map_state for a in agents]), self.mesh)
-        self.comms = comms or MeshComms(self.mesh, n)
+        # descriptor capacity: one slot per possible keyframe (full-SLAM
+        # admission can keyframe every frame), or the config override —
+        # the sequential InMemoryComms DB is unbounded, so a mid-run
+        # "DB full" RuntimeError must not be reachable at any dataset
+        # length (static shape: the sharded DB allocates lazily at the
+        # first descriptor's D)
+        cap = int(agents[0].config.get("loop_detection", {})
+                  .get("desc_cap", 0))
+        if cap <= 0:
+            cap = max(len(a.dataset) for a in agents) + 1
+        self.comms = comms or MeshComms(self.mesh, n, desc_cap=cap)
         self.comms.fleet = self
         self.collabs = [
             AgentCollaboration(a, self.comms, descriptor_fn=descriptor_fn)
@@ -271,6 +305,16 @@ class MeshAgentFleet:
         self._super_step = (make_fleet_super_step_row_sharded(self.mapper)
                             if self.row_sharded
                             else make_fleet_super_step(self.mapper))
+        # padding (frame, pose) per agent for rounds where that agent has
+        # nothing to map (valid=False): the content never changes, so the
+        # host dataset IO + several-MB device upload must not repeat per
+        # round
+        self._pad_frame: List = [None] * n
+
+    def _padding_frame(self, i: int):
+        if self._pad_frame[i] is None:
+            self._pad_frame[i] = self.agents[i]._frame_for_mapping(0)
+        return self._pad_frame[i]
 
     # ------------------------------------------------------------------
 
@@ -308,8 +352,9 @@ class MeshAgentFleet:
                         ["first_iters" if first else "iters"])
 
             frames, poses, k1s, k2s = [], [], [], []
-            for a, v in zip(agents, valids):
-                frame, pose = a._frame_for_mapping(idx if v else 0)
+            for i, (a, v) in enumerate(zip(agents, valids)):
+                frame, pose = (a._frame_for_mapping(idx) if v
+                               else self._padding_frame(i))
                 frames.append(frame)
                 poses.append(pose)
                 if not v:
@@ -351,6 +396,7 @@ class MeshAgentFleet:
                 # would compound the correction every round (the same
                 # failure mode as the round-4 raw-pose bug, 0.18 m -> 5.1 m;
                 # this path previously passed map_state.kf_poses directly).
+                ov_before = getattr(a, "_aligned_kf_override", None)
                 a._post_map_bookkeeping(
                     idx, np.asarray(poses[i]),
                     {k: m[i] for k, m in metrics.items()})
@@ -359,8 +405,13 @@ class MeshAgentFleet:
                 # _apply_closure) — fold that back into the stack so the
                 # NEXT super-step maps against the aligned trajectory
                 # (run_slam's _map_pending folds agent views per pass; this
-                # path previously dropped the override silently)
-                if getattr(a, "_aligned_kf_override", None) is not None:
+                # path previously dropped the override silently). Gated on
+                # the override OBJECT changing during this round's
+                # bookkeeping (set_aligned_kf_poses always stores a fresh
+                # tuple), so a round where no closure re-applied pays no
+                # eager per-agent stack write (~25-30 ms dispatch/RTT).
+                if (getattr(a, "_aligned_kf_override", None) is not None
+                        and a._aligned_kf_override is not ov_before):
                     self.state = self.state._replace(
                         kf_poses=self.state.kf_poses.at[i].set(
                             a.map_state.kf_poses))
@@ -430,7 +481,7 @@ class MeshAgentFleet:
                     else:
                         k1, k2 = a._next_key(), a._next_key()
                 else:
-                    frame, pose = a._frame_for_mapping(0)
+                    frame, pose = self._padding_frame(i)
                     frame_id = 0
                     k1 = k2 = jax.random.PRNGKey(0)
                 frames.append(frame)

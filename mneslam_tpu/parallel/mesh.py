@@ -258,6 +258,9 @@ def make_row_sharded_pack(axis_names, axis_sizes, true_shape, pad_h: int,
     return f
 
 
+_GATHER_CACHE: dict = {}
+
+
 def all_gather_descriptors(local: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     """Descriptor DB exchange: [n_agents, K, D] stack sharded over `agent`
     -> fully replicated copy on every slice, via an explicit
@@ -273,11 +276,20 @@ def all_gather_descriptors(local: jax.Array, mesh: Mesh | None = None) -> jax.Ar
 
     # out is replicated over `agent` after the all_gather; the varying-axes
     # checker can't infer that, so it is disabled (check_vma/check_rep)
-    gather = jax.shard_map(
-        lambda x: jax.lax.all_gather(x, "agent", axis=0, tiled=True),
-        mesh=mesh, in_specs=P("agent"), out_specs=P(), check_vma=False,
-    )
-    return jax.jit(gather)(local)
+    #
+    # the jitted gather is CACHED per mesh: a fresh jit(lambda ...) per
+    # call misses jax's function-identity cache, and this runs once per
+    # mapped keyframe (MeshComms.descriptors) — on the remote backend
+    # that would be a ~30-60 s recompile per keyframe
+    key = mesh
+    fn = _GATHER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            lambda x: jax.lax.all_gather(x, "agent", axis=0, tiled=True),
+            mesh=mesh, in_specs=P("agent"), out_specs=P(), check_vma=False,
+        ))
+        _GATHER_CACHE[key] = fn
+    return fn(local)
 
 
 def fetch_agent_slice(stacked, rank: int):
