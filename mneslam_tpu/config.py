@@ -72,6 +72,12 @@ _DEFAULTS: Dict[str, Any] = {
         # "before" = full local fold then 4x-smaller raw reduce-scatter
         # (min ICI) — numerically identical (BASELINE.md round 4)
         "shard_fold": "after",
+        # k-stale loop-invariant tables: pack+all-gather once per k
+        # mapping iterations (forward view up to k-1 stale; gradients
+        # reduce and Adam applies every iteration). 1 = sync/exact;
+        # 8 is quality-neutral and the v5e-8 deployment default
+        # (room0_v5e8.yaml; BASELINE.md round 5)
+        "shard_gather_every": 1,
         "w_sdf_fs": 5,
         "w_sdf_center": 200,
         "w_sdf_tail": 30,
